@@ -1,0 +1,318 @@
+"""CLUSTER stage logic: dedup, hierarchical clustering, consolidation, scoring.
+
+Behavioral contract: svim/SVIM_clustering.py:122-386 — per-partition
+subsampling to 100 with random.seed(1524), same-read duplicate removal,
+average-linkage clustering cut at cluster_max_distance, consolidation to
+uni-/bi-local cluster records, and the support/deviation score.
+
+scipy's linkage/fcluster are kept as the dendrogram arbiter (they are also
+what the reference used, so ties break identically); the pairwise distance
+computation is the hot part and is what the TPU kernels accelerate.
+"""
+
+from __future__ import annotations
+
+import logging
+from random import sample, seed
+from statistics import mean, stdev
+
+import numpy as np
+from scipy.cluster.hierarchy import fcluster, linkage
+
+from svim_tpu.candidates import CandidateDuplicationInterspersed
+from svim_tpu.cluster.distance import (
+    SAME_READ_WALL,
+    span_position_distance,
+    span_position_distance_intdup_candidates,
+)
+from svim_tpu.cluster.partition import form_partitions
+from svim_tpu.io.fasta import FastaFile
+from svim_tpu.signatures import SignatureClusterBiLocal, SignatureClusterUniLocal
+
+RANDOM_SEED = 1524       # fixed for reproducible subsampling (SVIM_clustering.py:129)
+MAX_PARTITION_SIZE = 100  # larger partitions are subsampled (SVIM_clustering.py:132)
+SUPPORT_CAP = 80          # score support saturates here (SVIM_clustering.py:208-210)
+
+
+def _pairwise_condensed(elements, element_type, reference, options):
+    """Condensed pairwise distance vector with the same-read wall applied for
+    every type except INV (SVIM_clustering.py:159-169)."""
+    distances = []
+    for i in range(len(elements) - 1):
+        for j in range(i + 1, len(elements)):
+            if element_type != "INV" and elements[i].read == elements[j].read:
+                distances.append(SAME_READ_WALL)
+            else:
+                distances.append(span_position_distance(
+                    elements[i], elements[j], element_type, reference,
+                    options.position_distance_normalizer,
+                    options.edit_distance_normalizer,
+                    options.cluster_max_distance))
+    return distances
+
+
+def _group_by_labels(elements, labels):
+    groups = [[] for _ in range(max(labels))]
+    for element, label in zip(elements, labels):
+        groups[label - 1].append(element)
+    return groups
+
+
+def clusters_from_partitions(partitions, reference, options):
+    """Cluster each partition with average linkage cut at cluster_max_distance
+    (reference: SVIM_clustering.py:122-180)."""
+    clusters_final = []
+    large_partitions = 0
+    duplicate_signatures = 0
+    seed(RANDOM_SEED)
+    for partition in partitions:
+        if len(partition) > MAX_PARTITION_SIZE:
+            partition_sample = sample(partition, MAX_PARTITION_SIZE)
+            large_partitions += 1
+        else:
+            partition_sample = partition
+        element_type = partition_sample[0].type
+        assert element_type in ("DEL", "DUP_TAN", "INV", "INS", "DUP_INT", "BND")
+
+        if element_type == "INV":
+            # inversions keep same-read pairs: the two complementary flank
+            # signatures of one read belong together
+            deduplicated = partition_sample
+        else:
+            duplicates_from_same_read = set()
+            for i in range(len(partition_sample) - 1):
+                for j in range(i + 1, len(partition_sample)):
+                    if (partition_sample[i].read == partition_sample[j].read
+                            and span_position_distance(
+                                partition_sample[i], partition_sample[j], element_type,
+                                reference, options.position_distance_normalizer,
+                                options.edit_distance_normalizer,
+                                options.cluster_max_distance) <= options.cluster_max_distance):
+                        duplicates_from_same_read.add(j)
+            duplicate_signatures += len(duplicates_from_same_read)
+            deduplicated = [partition_sample[i] for i in range(len(partition_sample))
+                            if i not in duplicates_from_same_read]
+
+        if len(deduplicated) == 1:
+            clusters_final.append([deduplicated[0]])
+            continue
+
+        distances = _pairwise_condensed(deduplicated, element_type, reference, options)
+        dendrogram = linkage(np.array(distances), method="average")
+        labels = list(fcluster(dendrogram, options.cluster_max_distance, criterion="distance"))
+        clusters_final.extend(_group_by_labels(deduplicated, labels))
+    if partitions and partitions[0]:
+        logging.debug("%d out of %d partitions for %s exceeded %d elements.",
+                      large_partitions, len(partitions), partitions[0][0].type,
+                      MAX_PARTITION_SIZE)
+        logging.debug("%d %s signatures were removed due to similarity to another "
+                      "signature from the same read.",
+                      duplicate_signatures, partitions[0][0].type)
+    return clusters_final
+
+
+def calculate_score(cluster, std_span, std_pos, span, type):
+    """Support score with span/position deviation bonuses; INV requires both
+    flank directions (reference: SVIM_clustering.py:183-211)."""
+    if std_span is None or std_pos is None:
+        span_deviation_score = 0
+        pos_deviation_score = 0
+    else:
+        span_deviation_score = 1 - min(1, std_span / span)
+        pos_deviation_score = 1 - min(1, std_pos / span)
+
+    if type == "INV":
+        left = sum(1 for sig in cluster if sig.direction in ("left_fwd", "left_rev"))
+        right = sum(1 for sig in cluster if sig.direction in ("right_fwd", "right_rev"))
+        both = sum(1 for sig in cluster if sig.direction == "all")
+        valid_signatures = min(left, right) + both
+        num_signatures = min(SUPPORT_CAP, valid_signatures)
+    else:
+        num_signatures = min(SUPPORT_CAP, len(cluster))
+    return (num_signatures
+            + span_deviation_score * (num_signatures / 8)
+            + pos_deviation_score * (num_signatures / 8))
+
+
+def _location_stats(locations):
+    """(mean start, mean end, std span, std pos) over (start, end) pairs."""
+    starts = [start for start, _ in locations]
+    ends = [end for _, end in locations]
+    average_start = sum(starts) / len(starts)
+    average_end = sum(ends) / len(ends)
+    if len(locations) > 1:
+        std_span = stdev([end - start for start, end in locations])
+        std_pos = stdev([(start + end) / 2 for start, end in locations])
+    else:
+        std_span = None
+        std_pos = None
+    return average_start, average_end, std_span, std_pos
+
+
+def consolidate_clusters_unilocal(clusters):
+    """Mean/stdev consolidation for single-locus clusters
+    (reference: SVIM_clustering.py:214-228)."""
+    consolidated_clusters = []
+    for cluster in clusters:
+        average_start, average_end, std_span, std_pos = _location_stats(
+            [(member.get_source()[1], member.get_source()[2]) for member in cluster])
+        score = calculate_score(cluster, std_span, std_pos,
+                                average_end - average_start, cluster[0].type)
+        consolidated_clusters.append(SignatureClusterUniLocal(
+            cluster[0].get_source()[0], int(round(average_start)), int(round(average_end)),
+            score, len(cluster), cluster, cluster[0].type, std_span, std_pos))
+    return consolidated_clusters
+
+
+def consolidate_clusters_bilocal(clusters):
+    """Consolidation for two-locus clusters: DUP_TAN / DUP_INT / BND
+    (reference: SVIM_clustering.py:231-303)."""
+    consolidated_clusters = []
+    for cluster in clusters:
+        cluster_type = cluster[0].type
+        source_start, source_end, source_std_span, source_std_pos = _location_stats(
+            [(member.get_source()[1], member.get_source()[2]) for member in cluster])
+
+        if cluster_type == "DUP_TAN":
+            max_copies = max(member.copies for member in cluster)
+            score = calculate_score(cluster, source_std_span, source_std_pos,
+                                    source_end - source_start, cluster_type)
+            rounded_start = int(round(source_start))
+            rounded_end = int(round(source_end))
+            consolidated_clusters.append(SignatureClusterBiLocal(
+                cluster[0].get_source()[0], rounded_start, rounded_end,
+                cluster[0].get_source()[0], rounded_end,
+                rounded_end + max_copies * (rounded_end - rounded_start),
+                score, len(cluster), cluster, cluster_type,
+                source_std_span, source_std_pos))
+        elif cluster_type == "DUP_INT":
+            dest_start, dest_end, dest_std_span, dest_std_pos = _location_stats(
+                [(member.get_destination()[1], member.get_destination()[2]) for member in cluster])
+            if None in (source_std_span, source_std_pos, dest_std_span, dest_std_pos):
+                combined_std_span, combined_std_pos = None, None
+            else:
+                combined_std_span = mean([source_std_span, dest_std_span])
+                combined_std_pos = mean([source_std_pos, dest_std_pos])
+            score = calculate_score(
+                cluster, combined_std_span, combined_std_pos,
+                mean([source_end - source_start, dest_end - dest_start]), cluster_type)
+            consolidated_clusters.append(SignatureClusterBiLocal(
+                cluster[0].get_source()[0], int(round(source_start)), int(round(source_end)),
+                cluster[0].get_destination()[0], int(round(dest_start)), int(round(dest_end)),
+                score, len(cluster), cluster, cluster_type,
+                combined_std_span, combined_std_pos))
+        elif cluster_type == "BND":
+            dest_start, dest_end, _dest_std_span, dest_std_pos = _location_stats(
+                [(member.get_destination()[1], member.get_destination()[2]) for member in cluster])
+            directions1 = set(member.direction1 for member in cluster)
+            directions2 = set(member.direction2 for member in cluster)
+            assert len(directions1) == 1 and len(directions2) == 1
+            if source_std_pos is None or dest_std_pos is None:
+                std_first, std_second = None, None
+            else:
+                std_first, std_second = source_std_pos, dest_std_pos
+            # BND scores use a constant 500 bp span (SVIM_clustering.py:293,297)
+            score = calculate_score(cluster, std_first, std_second, 500, cluster_type)
+            new_cluster = SignatureClusterBiLocal(
+                cluster[0].get_source()[0], int(round(source_start)), int(round(source_end)),
+                cluster[0].get_destination()[0], int(round(dest_start)), int(round(dest_end)),
+                score, len(cluster), cluster, cluster_type, std_first, std_second)
+            new_cluster.direction1 = directions1.pop()
+            new_cluster.direction2 = directions2.pop()
+            consolidated_clusters.append(new_cluster)
+    return consolidated_clusters
+
+
+def partition_and_cluster(signatures, options, type):
+    """Full per-type clustering pipeline (reference: SVIM_clustering.py:375-386)."""
+    partitions = form_partitions(signatures, options.partition_max_distance)
+    with FastaFile(options.genome) as reference:
+        clusters = clusters_from_partitions(partitions, reference, options)
+    logging.info("Clustered {0}: {1} partitions and {2} clusters".format(
+        type, len(partitions), len(clusters)))
+    if type in ("deleted regions", "inserted regions", "inverted regions"):
+        return sorted(consolidate_clusters_unilocal(clusters),
+                      key=lambda cluster: (cluster.contig, (cluster.end + cluster.start) / 2))
+    if type in ("tandem duplicated regions",
+                "inserted regions with detected region of origin",
+                "translocation breakpoints"):
+        return consolidate_clusters_bilocal(clusters)
+    logging.error("Unknown parameter type={0} to function partition_and_cluster.".format(type))
+    return None
+
+
+def partition_and_cluster_candidates(candidates, options, type):
+    """Second clustering round over DUP_INT candidates
+    (reference: SVIM_clustering.py:306-372)."""
+    partitions = form_partitions(candidates, options.partition_max_distance)
+    clusters = []
+    large_partitions = 0
+    seed(RANDOM_SEED)
+    for partition in partitions:
+        if len(partition) == 1:
+            clusters.append([partition[0]])
+            continue
+        if len(partition) > MAX_PARTITION_SIZE:
+            partition_sample = sample(partition, MAX_PARTITION_SIZE)
+            large_partitions += 1
+        else:
+            partition_sample = partition
+        distances = []
+        for i in range(len(partition_sample) - 1):
+            for j in range(i + 1, len(partition_sample)):
+                distances.append(span_position_distance_intdup_candidates(
+                    partition_sample[i], partition_sample[j],
+                    options.position_distance_normalizer))
+        dendrogram = linkage(np.array(distances), method="average")
+        labels = list(fcluster(dendrogram, options.cluster_max_distance, criterion="distance"))
+        clusters.extend(_group_by_labels(partition_sample, labels))
+    if partitions and partitions[0]:
+        logging.debug("%d out of %d partitions for %s exceeded %d elements.",
+                      large_partitions, len(partitions), partitions[0][0].type,
+                      MAX_PARTITION_SIZE)
+    logging.info("Clustered {0}: {1} partitions and {2} clusters".format(
+        type, len(partitions), len(clusters)))
+
+    final_candidates = []
+    for cluster in clusters:
+        combined_score = max(candidate.score for candidate in cluster)
+        combined_members = [member for candidate in cluster for member in candidate.members]
+
+        stds_span = [candidate.std_span for candidate in cluster if candidate.std_span is not None]
+        combined_std_span = mean(stds_span) if stds_span else None
+        stds_pos = [candidate.std_pos for candidate in cluster if candidate.std_pos is not None]
+        combined_std_pos = mean(stds_pos) if stds_pos else None
+
+        source_start = sum(candidate.get_source()[1] for candidate in cluster) / len(cluster)
+        source_end = sum(candidate.get_source()[2] for candidate in cluster) / len(cluster)
+        dest_start = sum(candidate.get_destination()[1] for candidate in cluster) / len(cluster)
+        dest_end = sum(candidate.get_destination()[2] for candidate in cluster) / len(cluster)
+
+        cutpaste = any(member.cutpaste for member in cluster)
+
+        if cluster[0].type == "DUP_INT":
+            final_candidates.append(CandidateDuplicationInterspersed(
+                cluster[0].get_source()[0], int(round(source_start)), int(round(source_end)),
+                cluster[0].get_destination()[0], int(round(dest_start)), int(round(dest_end)),
+                combined_members, combined_score, combined_std_span, combined_std_pos, cutpaste))
+    return final_candidates
+
+
+def cluster_sv_signatures(sv_signatures, options):
+    """Split signatures by type and cluster each (reference: SVIM_CLUSTER.py:7-26).
+
+    Returns (deletion, insertion, inversion, tandem_duplication,
+    insertion_from, translocation) cluster lists."""
+    by_type = {key: [] for key in ("DEL", "INS", "INV", "DUP_TAN", "BND", "DUP_INT")}
+    for signature in sv_signatures:
+        by_type[signature.type].append(signature)
+
+    return (
+        partition_and_cluster(by_type["DEL"], options, "deleted regions"),
+        partition_and_cluster(by_type["INS"], options, "inserted regions"),
+        partition_and_cluster(by_type["INV"], options, "inverted regions"),
+        partition_and_cluster(by_type["DUP_TAN"], options, "tandem duplicated regions"),
+        partition_and_cluster(by_type["DUP_INT"], options,
+                              "inserted regions with detected region of origin"),
+        partition_and_cluster(by_type["BND"], options, "translocation breakpoints"),
+    )

@@ -1,0 +1,64 @@
+"""Exact Levenshtein distance via Myers' bit-parallel algorithm.
+
+Replaces edlib.align (reference usage: SVIM_clustering.py:10,45).  The host
+implementation runs the bit-vector recurrence on arbitrary-precision Python
+integers (one "word" spanning the whole pattern), which keeps the inner loop
+in C.  The batched TPU kernel (svim_tpu/ops/myers.py) runs the same
+recurrence on uint32 lanes for many pairs at once.
+"""
+
+from __future__ import annotations
+
+
+def edit_distance(pattern: str, text: str) -> int:
+    """Global (Needleman-Wunsch) edit distance between two strings."""
+    m = len(pattern)
+    if m == 0:
+        return len(text)
+    if len(text) == 0:
+        return m
+    # iterate over the shorter string as the pattern: fewer mask bits
+    if m > len(text):
+        pattern, text = text, pattern
+        m = len(pattern)
+
+    peq = {}
+    for i, ch in enumerate(pattern):
+        peq[ch] = peq.get(ch, 0) | (1 << i)
+
+    mask = (1 << m) - 1
+    high = 1 << (m - 1)
+    pv = mask
+    mv = 0
+    score = m
+    for ch in text:
+        eq = peq.get(ch, 0)
+        xv = eq | mv
+        xh = (((eq & pv) + pv) ^ pv) | eq
+        ph = mv | (~(xh | pv) & mask)
+        mh = pv & xh
+        if ph & high:
+            score += 1
+        elif mh & high:
+            score -= 1
+        ph = ((ph << 1) | 1) & mask
+        mh = (mh << 1) & mask
+        pv = mh | (~(xv | ph) & mask)
+        mv = ph & xv
+    return score
+
+
+def edit_distance_dp(a: str, b: str) -> int:
+    """Reference O(nm) dynamic program, used to validate the bit-parallel
+    implementations in tests."""
+    if len(a) < len(b):
+        a, b = b, a
+    previous = list(range(len(b) + 1))
+    for i, ca in enumerate(a, start=1):
+        current = [i] + [0] * len(b)
+        for j, cb in enumerate(b, start=1):
+            current[j] = min(previous[j] + 1,
+                             current[j - 1] + 1,
+                             previous[j - 1] + (ca != cb))
+        previous = current
+    return previous[len(b)]

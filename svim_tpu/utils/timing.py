@@ -1,0 +1,42 @@
+"""Per-stage timing and optional jax profiler traces.
+
+New capability relative to the reference, which only logs coarse progress
+(SVIM_COLLECT.py:151).  When profiling is on, each stage also emits a
+jax.profiler trace under <working_dir>/traces for TPU timeline inspection.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import logging
+import time
+from typing import Dict, Optional
+
+
+class StageTimer:
+    """Wall-clock accounting per pipeline stage."""
+
+    def __init__(self, enabled: bool = True, trace_dir: Optional[str] = None):
+        self.enabled = enabled
+        self.trace_dir = trace_dir
+        self.durations: Dict[str, float] = {}
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        start = time.perf_counter()
+        trace_ctx = contextlib.nullcontext()
+        if self.enabled and self.trace_dir:
+            import jax
+            trace_ctx = jax.profiler.trace(self.trace_dir)
+        with trace_ctx:
+            yield
+        self.durations[name] = self.durations.get(name, 0.0) + time.perf_counter() - start
+
+    def report(self):
+        if not self.enabled or not self.durations:
+            return
+        total = sum(self.durations.values())
+        logging.info("Stage timings (total %.2fs):", total)
+        for name, duration in self.durations.items():
+            logging.info("  %-10s %8.2fs  (%.1f%%)", name, duration,
+                         100.0 * duration / total if total else 0.0)

@@ -1,0 +1,91 @@
+"""Insertion consensus tests (mirrors reference tests/test_consensus.py:
+mocked reference fetch over a synthetic genome, skip for >10 kb haplotypes,
+exact recovery from identical signatures)."""
+
+import random
+
+from svim_tpu.combine.consensus import (
+    align_global,
+    generate_insertion_consensus,
+    poa_consensus,
+)
+from svim_tpu.signatures import SignatureClusterUniLocal, SignatureInsertion
+
+
+class _MockReference:
+    """Cheap fetch lambda over a synthetic genome (reference test pattern,
+    tests/test_consensus.py:12-14)."""
+
+    def __init__(self, genome):
+        self.genome = genome
+
+    def fetch(self, contig, start, end):
+        return self.genome[start:end]
+
+
+def _cluster(members):
+    return SignatureClusterUniLocal(
+        members[0].contig, members[0].start, members[0].end, 10, len(members),
+        members, "INS", 0.0, 0.0)
+
+
+def test_skip_too_long_haplotypes():
+    genome = "A" * 100 + "C" * 100
+    reference = _MockReference(genome)
+    members = [SignatureInsertion("chr1", 100, 100 + 20000, "cigar",
+                                  "read{0}".format(i), "T" * 20000)
+               for i in range(5)]
+    status, result = generate_insertion_consensus(_cluster(members), reference)
+    assert status == 1
+    assert result == ()
+
+
+def test_exact_recovery_from_identical_signatures():
+    rng = random.Random(5)
+    genome = "".join(rng.choice("ACGT") for _ in range(400))
+    reference = _MockReference(genome)
+    insertion = "".join(rng.choice("ACGT") for _ in range(60))
+    members = [SignatureInsertion("chr1", 200, 260, "cigar",
+                                  "read{0}".format(i), insertion)
+               for i in range(10)]
+    status, result = generate_insertion_consensus(_cluster(members), reference)
+    assert status == 0
+    start, size, consensus = result
+    assert start == 200
+    assert size == 60
+    assert consensus == insertion
+
+
+def test_consensus_robust_to_minority_errors():
+    rng = random.Random(6)
+    genome = "".join(rng.choice("ACGT") for _ in range(400))
+    reference = _MockReference(genome)
+    insertion = "".join(rng.choice("ACGT") for _ in range(50))
+    # 8 clean copies + 2 with point errors: majority restores the truth
+    noisy1 = insertion[:20] + ("A" if insertion[20] != "A" else "C") + insertion[21:]
+    noisy2 = insertion[:35] + insertion[36:]  # one deletion
+    members = [SignatureInsertion("chr1", 200, 250, "cigar", "r{0}".format(i), seq)
+               for i, seq in enumerate([insertion] * 8 + [noisy1, noisy2])]
+    status, result = generate_insertion_consensus(_cluster(members), reference)
+    assert status == 0
+    assert result[2] == insertion
+
+
+def test_align_global_places_single_gap_run():
+    rng = random.Random(7)
+    left = "".join(rng.choice("ACGT") for _ in range(120))
+    right = "".join(rng.choice("ACGT") for _ in range(120))
+    insert = "".join(rng.choice("ACGT") for _ in range(40))
+    row_a, row_b = align_global(left + insert + right, left + right)
+    assert row_a.replace("-", "") == left + insert + right
+    assert row_b.replace("-", "") == left + right
+    # the reference row must contain exactly one 40-wide gap run
+    import re
+    runs = [m.end() - m.start() for m in re.finditer(r"-+", row_b)]
+    assert runs == [40]
+
+
+def test_poa_consensus_identical_inputs():
+    seq = "ACGTACGTACGTTTTGGGACGT"
+    assert poa_consensus([seq] * 7) == seq
+    assert poa_consensus([seq]) == seq
