@@ -1,0 +1,144 @@
+#!/usr/bin/env python3
+"""svim-tpu benchmark: aligned reads/s through signature extraction + clustering.
+
+Workload: synthetic long-read BAM (ONT-like CIGARs with embedded SVs, split
+reads with SA tags).  Baseline: the sequential per-read host path, equivalent
+to single-core SVIM v2.0.0 (its COLLECT is a Python loop over pysam records;
+reference README.rst:73 "no support for multi-threading").  Array path: packed
+BAM scan + device kernels on whatever jax.devices() provides.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": reads/s, "unit": "reads/s", "vs_baseline": x}
+"""
+
+import json
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_READS = int(os.environ.get("SVIM_BENCH_READS", "2048"))
+BASELINE_SAMPLE = int(os.environ.get("SVIM_BENCH_BASELINE_READS", "192"))
+READ_LENGTH_OPS = 3000          # CIGAR ops per read (ONT-like noise)
+REPEATS = int(os.environ.get("SVIM_BENCH_REPEATS", "3"))
+
+
+def make_workload(tmp_dir):
+    """Synthetic BAM: every read carries small indel noise, ~25% of reads a
+    large DEL or INS, ~8% split with SA segments."""
+    from svim_tpu.io.sam import AlignmentHeader, parse_sam_line
+    from svim_tpu.io import bam as bamio
+
+    rng = random.Random(1234)
+    header_text = ("@HD\tVN:1.6\tSO:coordinate\n"
+                   "@SQ\tSN:chr1\tLN:200000000\n@SQ\tSN:chr2\tLN:150000000\n")
+    header = AlignmentHeader.from_text(header_text)
+    records = []
+    for i in range(N_READS):
+        start = rng.randint(0, 100000000)
+        parts = []
+        seq_len = 0
+        for _ in range(READ_LENGTH_OPS // 2):
+            m = rng.randint(3, 15)
+            parts.append("{0}M".format(m))
+            seq_len += m
+            op = rng.choice("ID")
+            length = rng.randint(1, 8)
+            if rng.random() < 0.002:
+                length = rng.randint(40, 500)   # a real SV-sized indel
+            parts.append("{0}{1}".format(length, op))
+            if op == "I":
+                seq_len += length
+        cigar = "".join(parts) + "20M"
+        seq_len += 20
+        seq = "A" * seq_len
+        tags = ""
+        if i % 12 == 0:  # split read
+            tags = "\tSA:Z:chr2,{0},+,{1}S{2}M,60,0;".format(
+                rng.randint(1, 100000000), seq_len - 500, 500)
+        line = "read{0}\t0\tchr1\t{1}\t60\t{2}\t*\t0\t0\t{3}\t*{4}".format(
+            i, start + 1, cigar, seq, tags)
+        records.append(parse_sam_line(line, header))
+    records.sort(key=lambda record: record.reference_start)
+    bam_path = os.path.join(tmp_dir, "bench.bam")
+    bamio.write_bam(bam_path, header, records)
+
+    genome_path = os.path.join(tmp_dir, "genome.fa")
+    with open(genome_path, "w") as handle:
+        handle.write(">chr1\n" + "ACGT" * 2500 + "\n>chr2\n" + "ACGT" * 2500 + "\n")
+    return bam_path, genome_path, header, records
+
+
+def run_cluster(signatures, options):
+    from svim_tpu.cluster import cluster_sv_signatures
+    return cluster_sv_signatures(signatures, options)
+
+
+def main():
+    import logging
+    logging.disable(logging.INFO)
+    import tempfile
+
+    from svim_tpu.config import parse_arguments
+    from svim_tpu.utils.device import setup_jax_cache
+
+    setup_jax_cache()
+    tmp_dir = tempfile.mkdtemp(prefix="svim_bench_")
+    bam_path, genome_path, header, records = make_workload(tmp_dir)
+    options = parse_arguments(arguments=["alignment", tmp_dir, bam_path, genome_path])
+
+    # ---- baseline: sequential host path (single-core SVIM-equivalent) ----------
+    from svim_tpu.collect.intra import analyze_alignment_indel
+    from svim_tpu.collect.collect import retrieve_other_alignments
+    from svim_tpu.collect.inter import analyze_read_segments
+    from svim_tpu.io.sam import AlignmentFile
+
+    bam_host = AlignmentFile(bam_path)
+    host_records = list(bam_host.fetch(until_eof=True))[:BASELINE_SAMPLE]
+    t0 = time.perf_counter()
+    host_signatures = []
+    for record in host_records:
+        supplementary = [aln for aln in retrieve_other_alignments(record, bam_host)
+                         if aln.mapping_quality >= options.min_mapq]
+        sigs, _ = analyze_alignment_indel(record, bam_host, record.query_name, options)
+        host_signatures.extend(sigs)
+        sigs, _ = analyze_read_segments(record, supplementary, bam_host, options)
+        host_signatures.extend(sigs)
+    host_collect_time = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run_cluster(host_signatures, options)
+    host_cluster_time = time.perf_counter() - t0
+    baseline_reads_per_s = BASELINE_SAMPLE / (host_collect_time + host_cluster_time)
+
+    # ---- array path: packed scan + device kernels ------------------------------
+    import jax
+    from svim_tpu.collect.packed import collect_signatures_from_bam
+
+    devices = jax.devices()
+    # warmup (compile)
+    collect_signatures_from_bam(bam_path, options)
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        _header, signatures, _twins = collect_signatures_from_bam(bam_path, options)
+        collect_time = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run_cluster(signatures, options)
+        cluster_time = time.perf_counter() - t0
+        best = min(best, collect_time + cluster_time)
+    array_reads_per_s = N_READS / best
+
+    result = {
+        "metric": "aligned reads/s through signature extraction+clustering (1 chip: {0})".format(
+            devices[0].platform),
+        "value": round(array_reads_per_s, 2),
+        "unit": "reads/s",
+        "vs_baseline": round(array_reads_per_s / baseline_reads_per_s, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

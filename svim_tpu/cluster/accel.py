@@ -1,0 +1,144 @@
+"""Vectorized pairwise distance matrices for CLUSTER.
+
+Replaces the O(n^2) Python call loops (reference: SVIM_clustering.py:145-169,
+HOT LOOP #3) with array computation.  All positional terms are built from
+integer deltas and divided in float64 with the same operation order as the
+scalar code, so the values are bit-identical to the reference; insertion
+haplotype edit distances are exact Myers distances over a per-partition
+cached reference window.
+
+The same matrix serves same-read dedup and linkage (the reference recomputes
+distances after dedup; since pair distances are independent of other
+elements, the surviving submatrix is identical).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from svim_tpu.cluster.distance import BND_NORMALIZER, SAME_READ_WALL
+from svim_tpu.cluster.edit_distance import edit_distance
+
+WINDOW_PADDING = 100  # reference window around insertion starts (SVIM_clustering.py:32)
+
+
+class PartitionWindow:
+    """Reference bases covering a whole partition of insertion signatures,
+    fetched once and sliced per pair (identical characters to per-pair
+    fetches)."""
+
+    def __init__(self, reference, contig, min_start, max_start):
+        self.offset = max(0, min_start - WINDOW_PADDING)
+        self.sequence = reference.fetch(
+            contig, self.offset, max(0, max_start + WINDOW_PADDING)).upper()
+
+    def slice(self, start, end):
+        start = max(0, start)
+        end = max(0, end)
+        return self.sequence[start - self.offset:end - self.offset]
+
+
+def _span_position_terms(starts, ends, position_distance_normalizer):
+    """(pos_dist, span_dist) matrices with reference op order."""
+    centers = (starts + ends) // 2
+    spans = ends - starts
+    delta_center = np.abs(centers[:, None] - centers[None, :])
+    delta_span = np.abs(spans[:, None] - spans[None, :])
+    max_span = np.maximum(spans[:, None], spans[None, :])
+    position_distance = delta_center / position_distance_normalizer
+    span_distance = delta_span / max_span
+    return position_distance, span_distance
+
+
+def distance_matrix(elements, element_type, reference, options):
+    """Full pairwise span-position distance matrix (no same-read wall)."""
+    n = len(elements)
+    starts = np.fromiter((e.get_source()[1] for e in elements), dtype=np.int64, count=n)
+    ends = np.fromiter((e.get_source()[2] for e in elements), dtype=np.int64, count=n)
+
+    if element_type in ("DEL", "DUP_TAN", "INV"):
+        position_distance, span_distance = _span_position_terms(
+            starts, ends, options.position_distance_normalizer)
+        return position_distance + span_distance
+
+    if element_type == "DUP_INT":
+        position_distance, span_distance = _span_position_terms(
+            starts, ends, options.position_distance_normalizer)
+        dest_starts = np.fromiter((e.get_destination()[1] for e in elements),
+                                  dtype=np.int64, count=n)
+        dest_distance = (np.abs(dest_starts[:, None] - dest_starts[None, :])
+                         / options.position_distance_normalizer)
+        return position_distance + dest_distance + span_distance
+
+    if element_type == "BND":
+        dest_starts = np.fromiter((e.get_destination()[1] for e in elements),
+                                  dtype=np.int64, count=n)
+        dist1 = np.abs(starts[:, None] - starts[None, :])
+        dist2 = np.abs(dest_starts[:, None] - dest_starts[None, :])
+        matrix = (dist1 + dist2) / BND_NORMALIZER
+        dir1 = np.fromiter((0 if e.direction1 == "fwd" else 1 for e in elements),
+                           dtype=np.int8, count=n)
+        dir2 = np.fromiter((0 if e.direction2 == "fwd" else 1 for e in elements),
+                           dtype=np.int8, count=n)
+        mismatch = (dir1[:, None] != dir1[None, :]) | (dir2[:, None] != dir2[None, :])
+        matrix[mismatch] = SAME_READ_WALL
+        return matrix
+
+    if element_type == "INS":
+        spans = ends - starts
+        position_distance = (np.abs(starts[:, None] - starts[None, :])
+                             / options.position_distance_normalizer)
+        max_span = np.maximum(spans[:, None], spans[None, :])
+        span_distance = np.abs(spans[:, None] - spans[None, :]) / max_span
+        near = position_distance <= 2 * options.cluster_max_distance
+        matrix = position_distance + span_distance
+        # sequence distance for local pairs: exact edit distance over
+        # reference-padded haplotypes (SVIM_clustering.py:64-77)
+        pairs_i, pairs_j = np.nonzero(np.triu(near, k=1))
+        if len(pairs_i):
+            window = PartitionWindow(reference, elements[0].contig,
+                                     int(starts.min()), int(starts.max()))
+            sequences = [e.sequence.upper() for e in elements]
+            for i, j in zip(pairs_i.tolist(), pairs_j.tolist()):
+                w_start = min(starts[i], starts[j]) - WINDOW_PADDING
+                w_end = max(starts[i], starts[j]) + WINDOW_PADDING
+                haplotype_i = (window.slice(w_start, starts[i]) + sequences[i]
+                               + window.slice(starts[i], w_end))
+                haplotype_j = (window.slice(w_start, starts[j]) + sequences[j]
+                               + window.slice(starts[j], w_end))
+                distance = edit_distance(haplotype_i, haplotype_j)
+                value = (position_distance[i, j]
+                         + distance / max_span[i, j] / options.edit_distance_normalizer)
+                matrix[i, j] = matrix[j, i] = value
+        np.fill_diagonal(matrix, 0.0)
+        return matrix
+
+    raise ValueError("unknown signature type {0}".format(element_type))
+
+
+def read_index_array(elements):
+    """Integer read-identity column (same id <=> same read name)."""
+    index_of = {}
+    out = np.empty(len(elements), dtype=np.int64)
+    for pos, element in enumerate(elements):
+        out[pos] = index_of.setdefault(element.read, len(index_of))
+    return out
+
+
+def dedup_same_read(matrix, reads, cluster_max_distance):
+    """Indices to drop: j > i, same read, distance <= threshold
+    (reference: SVIM_clustering.py:145-151)."""
+    same_read = reads[:, None] == reads[None, :]
+    close = matrix <= cluster_max_distance
+    drop = np.triu(same_read & close, k=1).any(axis=0)
+    return set(np.nonzero(drop)[0].tolist())
+
+
+def condensed_with_wall(matrix, reads, wall_same_read):
+    """Condensed upper-triangle vector, applying the same-read wall."""
+    n = matrix.shape[0]
+    if wall_same_read:
+        same_read = reads[:, None] == reads[None, :]
+        matrix = np.where(same_read, float(SAME_READ_WALL), matrix)
+    iu = np.triu_indices(n, k=1)
+    return matrix[iu]

@@ -20,10 +20,10 @@ import numpy as np
 from scipy.cluster.hierarchy import fcluster, linkage
 
 from svim_tpu.candidates import CandidateDuplicationInterspersed
+from svim_tpu.cluster import accel
 from svim_tpu.cluster.distance import (
     SAME_READ_WALL,
     span_position_distance,
-    span_position_distance_intdup_candidates,
 )
 from svim_tpu.cluster.partition import form_partitions
 from svim_tpu.io.fasta import FastaFile
@@ -74,31 +74,36 @@ def clusters_from_partitions(partitions, reference, options):
         element_type = partition_sample[0].type
         assert element_type in ("DEL", "DUP_TAN", "INV", "INS", "DUP_INT", "BND")
 
+        # one vectorized distance matrix serves dedup and linkage (pair
+        # distances are independent of other elements, so the surviving
+        # submatrix equals the reference's recomputation)
+        matrix = accel.distance_matrix(partition_sample, element_type,
+                                       reference, options)
+        reads = accel.read_index_array(partition_sample)
         if element_type == "INV":
             # inversions keep same-read pairs: the two complementary flank
             # signatures of one read belong together
             deduplicated = partition_sample
         else:
-            duplicates_from_same_read = set()
-            for i in range(len(partition_sample) - 1):
-                for j in range(i + 1, len(partition_sample)):
-                    if (partition_sample[i].read == partition_sample[j].read
-                            and span_position_distance(
-                                partition_sample[i], partition_sample[j], element_type,
-                                reference, options.position_distance_normalizer,
-                                options.edit_distance_normalizer,
-                                options.cluster_max_distance) <= options.cluster_max_distance):
-                        duplicates_from_same_read.add(j)
+            duplicates_from_same_read = accel.dedup_same_read(
+                matrix, reads, options.cluster_max_distance)
             duplicate_signatures += len(duplicates_from_same_read)
-            deduplicated = [partition_sample[i] for i in range(len(partition_sample))
-                            if i not in duplicates_from_same_read]
+            if duplicates_from_same_read:
+                keep = [i for i in range(len(partition_sample))
+                        if i not in duplicates_from_same_read]
+                deduplicated = [partition_sample[i] for i in keep]
+                matrix = matrix[np.ix_(keep, keep)]
+                reads = reads[keep]
+            else:
+                deduplicated = partition_sample
 
         if len(deduplicated) == 1:
             clusters_final.append([deduplicated[0]])
             continue
 
-        distances = _pairwise_condensed(deduplicated, element_type, reference, options)
-        dendrogram = linkage(np.array(distances), method="average")
+        distances = accel.condensed_with_wall(matrix, reads,
+                                              wall_same_read=element_type != "INV")
+        dendrogram = linkage(distances, method="average")
         labels = list(fcluster(dendrogram, options.cluster_max_distance, criterion="distance"))
         clusters_final.extend(_group_by_labels(deduplicated, labels))
     if partitions and partitions[0]:

@@ -1,0 +1,308 @@
+"""Array-path COLLECT: packed batches -> device kernels -> signatures.
+
+This is the throughput path replacing the per-alignment Python loop
+(reference: SVIM_COLLECT.py:132-167, HOT LOOP #1).  All alignments of a batch
+are packed once (svim_tpu.io.packing / io.bamscan), the CIGAR indel scan and
+split-read pair classification run as single device calls, and Signature
+objects are materialized only for the sparse events.  Emission order matches
+the sequential host path record-for-record, so everything downstream
+(partition order, sampling, VCF) is identical.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from svim_tpu.collect.inter import _Emitter, _merge_tandem_runs, _pair_translocations
+from svim_tpu.io import cigar as cigar_utils
+from svim_tpu.io.packing import FSUPPLEMENTARY, FSECONDARY, FUNMAP, pack_alignments
+from svim_tpu.ops.segments_kernel import classify_segment_pairs
+from svim_tpu.signatures import (
+    SignatureDeletion,
+    SignatureInsertion,
+    SignatureInversion,
+    SignatureTranslocation,
+)
+
+_INV_DIRECTIONS = ("left_fwd", "left_rev", "right_fwd", "right_rev")
+MAX_SEGMENTS = 64  # reads with more alignments fall back to the host analyzer
+
+
+class _SATagSegment:
+    """A supplementary alignment reconstructed from one SA-tag entry,
+    carrying just the geometry the pair classifier needs."""
+
+    __slots__ = ("ref_id", "ref_start", "ref_end", "mapq", "is_reverse",
+                 "q_start", "q_end")
+
+    def __init__(self, ref_id, ref_start, cigar_string, mapq, is_reverse):
+        tuples = cigar_utils.parse_cigar(cigar_string)
+        self.ref_id = ref_id
+        self.ref_start = ref_start
+        self.ref_end = ref_start + cigar_utils.reference_length(tuples)
+        self.mapq = mapq
+        self.is_reverse = is_reverse
+        qa_start, qa_end = cigar_utils.query_alignment_bounds(tuples)
+        if is_reverse:
+            read_length = cigar_utils.query_length(tuples, include_hard_clips=True)
+            self.q_start = read_length - qa_end
+            self.q_end = read_length - qa_start
+        else:
+            self.q_start = qa_start
+            self.q_end = qa_end
+
+
+def _parse_sa_segments(sa_tag: str, header_get_tid, mapq_min: int):
+    segments = []
+    for element in sa_tag.split(";"):
+        if element == "":
+            continue
+        fields = element.split(",")
+        if len(fields) != 6:
+            continue
+        mapq = int(fields[4])
+        if not (0 <= mapq <= 255):
+            mapq = 0
+        if mapq < mapq_min:
+            continue
+        segments.append(_SATagSegment(header_get_tid(fields[0]), int(fields[1]) - 1,
+                                      fields[3], mapq, fields[2] == "-"))
+    return segments
+
+
+def collect_signatures_packed(bam, options):
+    """COLLECT over an opened AlignmentFile using the device kernels.
+
+    Returns (sv_signatures, translocation_signatures_all_bnds) with the same
+    contents and order as analyze_alignment_file_coordsorted."""
+    records = list(bam.fetch(until_eof=True))
+    keep = [record for record in records
+            if not (record.flag & (FUNMAP | FSECONDARY))
+            and record.mapping_quality >= options.min_mapq]
+    if not keep:
+        return [], []
+    packed = pack_alignments(keep)
+    sa_tags = [record.get_tag("SA") if record.has_tag("SA") else None
+               for record in keep]
+    return signatures_from_packed(packed, sa_tags, bam, options)
+
+
+def collect_signatures_from_bam(bam_path: str, options):
+    """COLLECT straight from a BAM file via the packed scanner (no
+    AlignmentRecord materialization).  Returns (header, signatures, twins)."""
+    from svim_tpu.io.bamscan import scan_bam
+    header, packed, sa_tags = scan_bam(bam_path, options.min_mapq)
+    signatures, twins = signatures_from_packed(packed, sa_tags, header, options)
+    return header, signatures, twins
+
+
+def _run_collect_scan(packed, options):
+    """Run the fused geometry+events device pass and fill the packed batch's
+    geometry columns.  Grows the event bound on overflow."""
+    import jax
+    import jax.numpy as jnp
+
+    from svim_tpu.ops.cigar_kernel import _round_up_pow2, collect_scan
+
+    if packed.device_cigars is not None:
+        ops_batch, lens_batch = packed.device_cigars
+    else:
+        ops_batch = jnp.asarray(packed.cigar_ops)
+        lens_batch = jnp.asarray(packed.cigar_lens)
+    ref_start = jnp.asarray(np.asarray(packed.ref_start, dtype=np.int32))
+    max_events = _round_up_pow2(max(1024, packed.n * 4))
+    while True:
+        result = jax.device_get(collect_scan(
+            ops_batch, lens_batch, ref_start,
+            jnp.int32(options.min_sv_size), max_events))
+        (ref_end, read_len, qa_start, qa_end, has_hard, rows, pos_ref,
+         pos_read, lengths, is_ins, count) = result
+        if count <= max_events:
+            break
+        max_events = _round_up_pow2(int(count))
+    packed.ref_end = np.asarray(ref_end)
+    packed.read_len = np.asarray(read_len)
+    packed.qa_start = np.asarray(qa_start)
+    packed.qa_end = np.asarray(qa_end)
+    packed.has_hard_clip = np.asarray(has_hard)
+    count = int(count)
+    return (rows[:count], pos_ref[:count], pos_read[:count], lengths[:count],
+            is_ins[:count])
+
+
+def signatures_from_packed(packed, sa_tags, name_table, options):
+    """Shared core: device kernels over one packed batch.
+
+    name_table provides get_tid / the reference-name lookup (an AlignmentFile
+    or an AlignmentHeader)."""
+    getrname = (name_table.getrname if hasattr(name_table, "getrname")
+                else name_table.get_reference_name)
+    get_tid = name_table.get_tid
+
+    per_row_sigs: Dict[int, List] = {}
+    per_row_twins: Dict[int, List] = {}
+
+    # ---- fused device pass: geometry + compacted CIGAR indel events ---------------
+    rows, pos_ref, pos_read, lengths, is_ins = _run_collect_scan(packed, options)
+    for row, p_ref, p_read, length, ins in zip(rows.tolist(), pos_ref.tolist(),
+                                               pos_read.tolist(), lengths.tolist(),
+                                               is_ins.tolist()):
+        contig = getrname(int(packed.ref_id[row]))
+        start = int(packed.ref_start[row]) + p_ref
+        name = packed.names[row]
+        sigs = per_row_sigs.setdefault(row, [])
+        if ins:
+            sequence = packed.sequences[row]
+            sequence = sequence[p_read:p_read + length] if sequence is not None else ""
+            sigs.append(SignatureInsertion(contig, start, start + length,
+                                           "cigar", name, sequence))
+        else:
+            sigs.append(SignatureDeletion(contig, start, start + length,
+                                          "cigar", name))
+            if options.all_bnds:
+                per_row_twins.setdefault(row, []).append(SignatureTranslocation(
+                    contig, start, "fwd", contig, start + length, "fwd",
+                    "cigar", name))
+
+    # ---- split-read segment groups -----------------------------------------------
+    if packed.has_hard_clip is not None:
+        has_hard_clip = packed.has_hard_clip
+    else:
+        has_hard_clip = ((packed.cigar_ops == 5) & (packed.cigar_lens > 0)).any(axis=1)
+    supplementary = (packed.flag & FSUPPLEMENTARY) != 0
+    group_rows: List[int] = []
+    group_segments: List[List] = []
+    for row in range(packed.n):
+        sa_tag = sa_tags[row]
+        if sa_tag is None or supplementary[row] or has_hard_clip[row]:
+            continue
+        segments_supplementary = _parse_sa_segments(sa_tag, get_tid, options.min_mapq)
+        if not segments_supplementary:
+            continue
+        if packed.is_reverse[row]:
+            read_length = int(packed.read_len[row])
+            primary_q = (read_length - int(packed.qa_end[row]),
+                         read_length - int(packed.qa_start[row]))
+        else:
+            primary_q = (int(packed.qa_start[row]), int(packed.qa_end[row]))
+        segments = [(primary_q[0], primary_q[1], int(packed.ref_id[row]),
+                     int(packed.ref_start[row]), int(packed.ref_end[row]),
+                     bool(packed.is_reverse[row]))]
+        segments += [(seg.q_start, seg.q_end, seg.ref_id, seg.ref_start,
+                      seg.ref_end, seg.is_reverse) for seg in segments_supplementary]
+        segments.sort(key=lambda seg: (seg[0], seg[1]))
+        if len(segments) > MAX_SEGMENTS:
+            if packed.records is not None:
+                # pathological chimeras: use the sequential host analyzer
+                from svim_tpu.collect.collect import retrieve_other_alignments
+                from svim_tpu.collect.inter import analyze_read_segments
+                record = packed.records[row]
+                supplementary_records = [
+                    aln for aln in retrieve_other_alignments(record, name_table)
+                    if not aln.is_unmapped and aln.mapping_quality >= options.min_mapq]
+                sigs, twin_sigs = analyze_read_segments(record, supplementary_records,
+                                                        name_table, options)
+                per_row_sigs.setdefault(row, []).extend(sigs)
+                per_row_twins.setdefault(row, []).extend(twin_sigs)
+                continue
+            logging.warning("read %s has %d alignment segments; truncating to %d",
+                            packed.names[row], len(segments), MAX_SEGMENTS)
+            segments = segments[:MAX_SEGMENTS]
+        group_rows.append(row)
+        group_segments.append(segments)
+
+    if group_rows:
+        _classify_groups(group_rows, group_segments, packed, getrname, options,
+                         per_row_sigs, per_row_twins)
+
+    sv_signatures = []
+    twins = []
+    for row in range(packed.n):
+        sv_signatures.extend(per_row_sigs.get(row, ()))
+        twins.extend(per_row_twins.get(row, ()))
+    return sv_signatures, twins
+
+
+def _classify_groups(group_rows, group_segments, packed, getrname, options,
+                     per_row_sigs, per_row_twins):
+    """Run the pair-classification kernel over padded segment groups and
+    assemble per-read signatures in reference order."""
+    n_groups = len(group_rows)
+    s_pad = max(2, max(len(segments) for segments in group_segments))
+
+    q_start = np.zeros((n_groups, s_pad), dtype=np.int32)
+    q_end = np.zeros((n_groups, s_pad), dtype=np.int32)
+    ref_id = np.zeros((n_groups, s_pad), dtype=np.int32)
+    ref_start = np.zeros((n_groups, s_pad), dtype=np.int32)
+    ref_end = np.zeros((n_groups, s_pad), dtype=np.int32)
+    is_reverse = np.zeros((n_groups, s_pad), dtype=bool)
+    valid = np.zeros((n_groups, s_pad), dtype=bool)
+    for g, segments in enumerate(group_segments):
+        for s, segment in enumerate(segments):
+            (q_start[g, s], q_end[g, s], ref_id[g, s], ref_start[g, s],
+             ref_end[g, s], is_reverse[g, s]) = segment
+        valid[g, :len(segments)] = True
+
+    outputs = classify_segment_pairs(
+        q_start, q_end, ref_id, ref_start, ref_end, is_reverse, valid,
+        np.int32(options.min_sv_size), np.int32(options.max_sv_size),
+        np.int32(options.segment_gap_tolerance),
+        np.int32(options.segment_overlap_tolerance))
+    (code, p1, p2, aux, contig2, qpos, twin_mask, twin_p1, twin_p2,
+     twin_aux) = (np.asarray(out) for out in outputs)
+
+    for g, row in enumerate(group_rows):
+        if not (code[g] != 0).any() and not twin_mask[g].any():
+            continue
+        emit = _Emitter(packed.names[row], options)
+        n_pairs = len(group_segments[g]) - 1
+        primary_sequence = packed.sequences[row]
+        for pair in range(n_pairs):
+            event = int(code[g, pair])
+            if twin_mask[g, pair] and options.all_bnds:
+                taux = int(twin_aux[g, pair])
+                emit.all_bnds.append(SignatureTranslocation(
+                    getrname(int(ref_id[g, pair])), int(twin_p1[g, pair]),
+                    "rev" if taux & 1 else "fwd",
+                    getrname(int(ref_id[g, pair])), int(twin_p2[g, pair]),
+                    "rev" if taux & 2 else "fwd", "suppl", emit.read_name))
+            if event == 0:
+                continue
+            contig = getrname(int(ref_id[g, pair]))
+            if event == 1:  # INS
+                anchor, deviation = int(p1[g, pair]), int(p2[g, pair])
+                position = int(qpos[g, pair])
+                if is_reverse[g, pair]:
+                    position = int(packed.read_len[row]) - position
+                try:
+                    sequence = primary_sequence[position:position + deviation]
+                except TypeError:
+                    sequence = ""
+                emit.signatures.append(SignatureInsertion(
+                    contig, anchor, anchor + deviation, "suppl",
+                    emit.read_name, sequence))
+            elif event == 2:  # DEL
+                anchor, length = int(p1[g, pair]), int(p2[g, pair])
+                emit.signatures.append(SignatureDeletion(
+                    contig, anchor, anchor + length, "suppl", emit.read_name))
+            elif event == 3:  # INV
+                emit.signatures.append(SignatureInversion(
+                    contig, int(p1[g, pair]), int(p2[g, pair]), "suppl",
+                    emit.read_name, _INV_DIRECTIONS[int(aux[g, pair])]))
+            elif event == 4:  # tandem duplication run entry
+                bits = int(aux[g, pair])
+                emit.tandem_runs.append((contig, int(p1[g, pair]), int(p2[g, pair]),
+                                         bool(bits & 1), bool(bits & 2)))
+            elif event == 5:  # BND
+                bits = int(aux[g, pair])
+                emit.bnd(contig, int(p1[g, pair]), "rev" if bits & 1 else "fwd",
+                         getrname(int(contig2[g, pair])), int(p2[g, pair]),
+                         "rev" if bits & 2 else "fwd")
+        _merge_tandem_runs(emit)
+        _pair_translocations(emit)
+        per_row_sigs.setdefault(row, []).extend(emit.signatures)
+        if options.all_bnds:
+            per_row_twins.setdefault(row, []).extend(emit.all_bnds)

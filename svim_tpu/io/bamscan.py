@@ -1,0 +1,191 @@
+"""Fast BAM -> packed-array scanner: the production data plane.
+
+Decodes a BAM stream directly into PackedAlignments: fixed fields via struct
+walks, CIGARs as zero-copy uint32 views sliced into a padded (N, K) batch,
+sequences decoded lazily (only insertion events ever need them), SA tags
+located by a verified byte search.  This avoids materializing AlignmentRecord
+objects entirely — the role htslib+pysam play for the reference
+(SVIM_COLLECT.py:133), rebuilt for array consumers.  A native C++ version of
+the same scan lives in svim_tpu/native.
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+from typing import List, Optional
+
+import numpy as np
+
+from svim_tpu.io.packing import PackedAlignments, bucket_size
+from svim_tpu.io.sam import AlignmentHeader
+
+FUNMAP = 0x4
+FSECONDARY = 0x100
+
+_SEQ_CODES = np.frombuffer(b"=ACMGRSVTWYHKDBN", dtype=np.uint8)
+# 256 -> two decoded bases per packed byte
+_NIBBLE_HI = _SEQ_CODES[np.arange(256) >> 4]
+_NIBBLE_LO = _SEQ_CODES[np.arange(256) & 0xF]
+
+_TAG_SIZES = {ord("c"): 1, ord("C"): 1, ord("s"): 2, ord("S"): 2,
+              ord("i"): 4, ord("I"): 4, ord("f"): 4, ord("A"): 1}
+
+
+class LazySequences:
+    """Per-row on-demand decoding of 4-bit packed BAM sequences."""
+
+    def __init__(self, data: bytes, seq_offsets: np.ndarray, seq_lengths: np.ndarray):
+        self._data = data
+        self._offsets = seq_offsets
+        self._lengths = seq_lengths
+
+    def __len__(self):
+        return len(self._offsets)
+
+    def __getitem__(self, row: int) -> Optional[str]:
+        length = int(self._lengths[row])
+        if length == 0:
+            return None
+        offset = int(self._offsets[row])
+        packed = np.frombuffer(self._data, dtype=np.uint8,
+                               count=(length + 1) // 2, offset=offset)
+        out = np.empty(2 * len(packed), dtype=np.uint8)
+        out[0::2] = _NIBBLE_HI[packed]
+        out[1::2] = _NIBBLE_LO[packed]
+        return out[:length].tobytes().decode()
+
+
+def _find_sa_tag(data: bytes, tag_start: int, tag_end: int) -> Optional[str]:
+    """Locate an SA:Z tag by byte search, verified by walking the tag list
+    from the start (guards against 'SAZ' inside another tag's value)."""
+    hint = data.find(b"SAZ", tag_start, tag_end)
+    if hint < 0:
+        return None
+    p = tag_start
+    while p < tag_end - 3:
+        value_type = data[p + 2]
+        if data[p] == 0x53 and data[p + 1] == 0x41 and value_type == 0x5A:  # 'S','A','Z'
+            nul = data.index(b"\x00", p + 3, tag_end)
+            return data[p + 3:nul].decode()
+        p += 3
+        if value_type in _TAG_SIZES:
+            p += _TAG_SIZES[value_type]
+        elif value_type in (0x5A, 0x48):  # Z / H
+            p = data.index(b"\x00", p, tag_end) + 1
+        elif value_type == 0x42:  # B
+            sub = data[p]
+            (count,) = struct.unpack_from("<i", data, p + 1)
+            p += 5 + count * _TAG_SIZES[sub]
+        else:
+            return None  # malformed; give up on this record's tags
+    return None
+
+
+def scan_bam(filename: str, min_mapq: int = 0):
+    """Scan a BAM file into (AlignmentHeader, PackedAlignments, sa_tags).
+
+    Only records passing the COLLECT filter (mapped, not secondary,
+    mapq >= min_mapq) are packed — same filter as SVIM_COLLECT.py:143.
+    sa_tags[i] is the SA string of row i or None.
+    """
+    with gzip.open(filename, "rb") as handle:
+        data = handle.read()
+    return scan_bam_bytes(data, min_mapq)
+
+
+def scan_bam_bytes(data: bytes, min_mapq: int = 0):
+    if data[:4] != b"BAM\x01":
+        raise ValueError("not a BAM stream")
+    offset = 4
+    (l_text,) = struct.unpack_from("<i", data, offset)
+    offset += 4
+    text = data[offset:offset + l_text].split(b"\x00", 1)[0].decode()
+    offset += l_text
+    (n_ref,) = struct.unpack_from("<i", data, offset)
+    offset += 4
+    references, lengths = [], []
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack_from("<i", data, offset)
+        offset += 4
+        references.append(data[offset:offset + l_name - 1].decode())
+        offset += l_name + 4
+        lengths.append(struct.unpack_from("<i", data, offset - 4)[0])
+    header = AlignmentHeader.from_text(text)
+    if not header.references:
+        header = AlignmentHeader(header.hd, references, lengths, text)
+
+    # first pass: record boundaries + filters + cigar geometry
+    total = len(data)
+    ref_id_list: List[int] = []
+    pos_list: List[int] = []
+    mapq_list: List[int] = []
+    flag_list: List[int] = []
+    name_list: List[str] = []
+    cigar_meta: List = []      # (byte offset, op count)
+    seq_offsets: List[int] = []
+    seq_lengths: List[int] = []
+    sa_tags: List[Optional[str]] = []
+    max_ops = 1
+
+    unpack = struct.unpack_from
+    while offset < total:
+        (block_size,) = unpack("<i", data, offset)
+        offset += 4
+        (ref_id, pos, l_read_name, mapq, _bin, n_cigar_op, flag, l_seq,
+         _next_ref, _next_pos, _tlen) = unpack("<iiBBHHHiiii", data, offset)
+        if (flag & (FUNMAP | FSECONDARY)) == 0 and mapq >= min_mapq:
+            p = offset + 32
+            name_list.append(data[p:p + l_read_name - 1].decode())
+            p += l_read_name
+            cigar_meta.append((p, n_cigar_op))
+            if n_cigar_op > max_ops:
+                max_ops = n_cigar_op
+            p += 4 * n_cigar_op
+            seq_offsets.append(p)
+            seq_lengths.append(l_seq)
+            p += (l_seq + 1) // 2 + l_seq
+            ref_id_list.append(ref_id)
+            pos_list.append(pos)
+            mapq_list.append(mapq)
+            flag_list.append(flag)
+            sa_tags.append(_find_sa_tag(data, p, offset + block_size))
+        offset += block_size
+
+    n = len(name_list)
+    k = bucket_size(max_ops)
+    cigar_ops = np.zeros((n, k), dtype=np.int8)
+    cigar_lens = np.zeros((n, k), dtype=np.int32)
+    for row, (cigar_offset, op_count) in enumerate(cigar_meta):
+        if op_count:
+            raw = np.frombuffer(data, dtype="<u4", count=op_count, offset=cigar_offset)
+            cigar_ops[row, :op_count] = (raw & 0xF).astype(np.int8)
+            cigar_lens[row, :op_count] = (raw >> 4).astype(np.int32)
+
+    packed = build_packed(
+        np.asarray(ref_id_list, dtype=np.int32),
+        np.asarray(pos_list, dtype=np.int32),
+        np.asarray(mapq_list, dtype=np.int32),
+        np.asarray(flag_list, dtype=np.int32),
+        cigar_ops, cigar_lens, name_list,
+        LazySequences(data, np.asarray(seq_offsets, dtype=np.int64),
+                      np.asarray(seq_lengths, dtype=np.int64)))
+    return header, packed, sa_tags
+
+
+def build_packed(ref_id, ref_start, mapq, flag, cigar_ops, cigar_lens, names,
+                 sequences) -> PackedAlignments:
+    """Assemble a PackedAlignments batch and ship the CIGAR arrays to the
+    device once.  Geometry columns (ref_end, qa bounds, ...) are filled by the
+    fused COLLECT device pass (ops.cigar_kernel.collect_scan) on first use —
+    fusing them with event compaction keeps the per-batch device round trips
+    at one."""
+    import jax.numpy as jnp
+
+    packed = PackedAlignments(
+        n=len(names), ref_id=ref_id, ref_start=ref_start, ref_end=None,
+        mapq=mapq, flag=flag, qa_start=None, qa_end=None,
+        read_len=None, cigar_ops=cigar_ops, cigar_lens=cigar_lens,
+        names=names, sequences=sequences, records=None)
+    packed.device_cigars = (jnp.asarray(cigar_ops), jnp.asarray(cigar_lens))
+    return packed

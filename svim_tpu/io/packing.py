@@ -1,0 +1,118 @@
+"""Packing of alignment records into fixed-width struct-of-array tensors.
+
+This is the boundary between the host data plane and the TPU kernels: ragged
+CIGARs become padded (N, K) op/len arrays (bucketed K to bound recompiles),
+per-alignment scalars become int32 columns, and read names/sequences stay on
+the host, addressed by row index.  The reference has no analog — it hands
+pysam objects to Python loops (SVIM_COLLECT.py:132-167); this layout is what
+lets COLLECT run as vectorized array ops.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+# CIGAR padding buckets: K is rounded up to one of these to bound the number
+# of distinct jit shapes
+CIGAR_BUCKETS = (128, 512, 2048, 8192, 32768, 131072)
+
+FUNMAP = 0x4
+FREVERSE = 0x10
+FSECONDARY = 0x100
+FSUPPLEMENTARY = 0x800
+
+# ops consuming reference / query (see svim_tpu.io.cigar)
+_REF_OPS = (0, 2, 7, 8)
+_QUERY_OPS = (0, 1, 4, 7, 8)
+_READ_OPS = (0, 1, 4, 5, 7, 8)
+
+
+def bucket_size(max_ops: int) -> int:
+    for bucket in CIGAR_BUCKETS:
+        if max_ops <= bucket:
+            return bucket
+    return max_ops
+
+
+class PackedAlignments:
+    """A batch of alignments as dense arrays plus host-side string columns."""
+
+    __slots__ = ("n", "ref_id", "ref_start", "ref_end", "mapq", "flag",
+                 "qa_start", "qa_end", "read_len", "cigar_ops", "cigar_lens",
+                 "names", "sequences", "records", "device_cigars",
+                 "has_hard_clip")
+
+    def __init__(self, n, ref_id, ref_start, ref_end, mapq, flag, qa_start,
+                 qa_end, read_len, cigar_ops, cigar_lens, names, sequences,
+                 records=None, device_cigars=None, has_hard_clip=None):
+        self.n = n
+        self.ref_id = ref_id
+        self.ref_start = ref_start
+        self.ref_end = ref_end
+        self.mapq = mapq
+        self.flag = flag
+        self.qa_start = qa_start
+        self.qa_end = qa_end
+        self.read_len = read_len
+        self.cigar_ops = cigar_ops
+        self.cigar_lens = cigar_lens
+        self.names = names
+        self.sequences = sequences
+        self.records = records
+        self.device_cigars = device_cigars
+        self.has_hard_clip = has_hard_clip
+
+    @property
+    def is_reverse(self):
+        return (self.flag & FREVERSE) != 0
+
+    @property
+    def is_supplementary(self):
+        return (self.flag & FSUPPLEMENTARY) != 0
+
+
+def pack_alignments(records: Sequence, pad_to: Optional[int] = None) -> PackedAlignments:
+    """Pack AlignmentRecord objects into a PackedAlignments batch.
+
+    Records without a CIGAR are packed with zero ops (they produce nothing in
+    the kernels)."""
+    n = len(records)
+    max_ops = 1
+    cigars: List = []
+    for record in records:
+        cigar = record.cigartuples
+        cigars.append(cigar)
+        if cigar is not None and len(cigar) > max_ops:
+            max_ops = len(cigar)
+    k = bucket_size(max_ops) if pad_to is None else pad_to
+
+    cigar_ops = np.zeros((n, k), dtype=np.int8)
+    cigar_lens = np.zeros((n, k), dtype=np.int32)
+    ref_id = np.empty(n, dtype=np.int32)
+    ref_start = np.empty(n, dtype=np.int32)
+    mapq = np.empty(n, dtype=np.int32)
+    flag = np.empty(n, dtype=np.int32)
+    names: List[str] = []
+    sequences: List[Optional[str]] = []
+
+    for row, record in enumerate(records):
+        ref_id[row] = record.reference_id
+        ref_start[row] = record.reference_start
+        mapq[row] = record.mapping_quality
+        flag[row] = record.flag
+        names.append(record.query_name)
+        sequences.append(record.query_sequence)
+        cigar = cigars[row]
+        if cigar:
+            count = len(cigar)
+            arr = np.asarray(cigar, dtype=np.int64)
+            cigar_ops[row, :count] = arr[:, 0]
+            cigar_lens[row, :count] = arr[:, 1]
+
+    from svim_tpu.io.bamscan import build_packed
+    packed = build_packed(ref_id, ref_start, mapq, flag, cigar_ops, cigar_lens,
+                          names, sequences)
+    packed.records = list(records)
+    return packed
