@@ -128,6 +128,8 @@ def read_index_array(elements):
 def dedup_same_read(matrix, reads, cluster_max_distance):
     """Indices to drop: j > i, same read, distance <= threshold
     (reference: SVIM_clustering.py:145-151)."""
+    if len(np.unique(reads)) == len(reads):
+        return set()
     same_read = reads[:, None] == reads[None, :]
     close = matrix <= cluster_max_distance
     drop = np.triu(same_read & close, k=1).any(axis=0)

@@ -66,6 +66,11 @@ def clusters_from_partitions(partitions, reference, options):
     duplicate_signatures = 0
     seed(RANDOM_SEED)
     for partition in partitions:
+        if len(partition) == 1:
+            # singleton partitions skip dedup and linkage entirely (the
+            # reference reaches the same single cluster through the full path)
+            clusters_final.append([partition[0]])
+            continue
         if len(partition) > MAX_PARTITION_SIZE:
             partition_sample = sample(partition, MAX_PARTITION_SIZE)
             large_partitions += 1

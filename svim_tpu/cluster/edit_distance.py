@@ -10,8 +10,33 @@ recurrence on uint32 lanes for many pairs at once.
 from __future__ import annotations
 
 
+_native_checked = False
+_native_fn = None
+
+
+def _native_edit_distance():
+    global _native_checked, _native_fn
+    if not _native_checked:
+        _native_checked = True
+        try:
+            from svim_tpu.native import aligner, get_library
+            if get_library() is not None:
+                _native_fn = aligner.edit_distance
+        except Exception:
+            _native_fn = None
+    return _native_fn
+
+
 def edit_distance(pattern: str, text: str) -> int:
     """Global (Needleman-Wunsch) edit distance between two strings."""
+    native = _native_edit_distance()
+    if native is not None:
+        return native(pattern, text)
+    return edit_distance_py(pattern, text)
+
+
+def edit_distance_py(pattern: str, text: str) -> int:
+    """Big-integer Myers recurrence (portable fallback)."""
     m = len(pattern)
     if m == 0:
         return len(text)

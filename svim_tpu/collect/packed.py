@@ -108,15 +108,14 @@ def _run_collect_scan(packed, options):
     from svim_tpu.ops.cigar_kernel import _round_up_pow2, collect_scan
 
     if packed.device_cigars is not None:
-        ops_batch, lens_batch = packed.device_cigars
+        words_batch = packed.device_cigars
     else:
-        ops_batch = jnp.asarray(packed.cigar_ops)
-        lens_batch = jnp.asarray(packed.cigar_lens)
+        words_batch = jnp.asarray(packed.cigar_words)
     ref_start = jnp.asarray(np.asarray(packed.ref_start, dtype=np.int32))
     max_events = _round_up_pow2(max(1024, packed.n * 4))
     while True:
         result = jax.device_get(collect_scan(
-            ops_batch, lens_batch, ref_start,
+            words_batch, ref_start,
             jnp.int32(options.min_sv_size), max_events))
         (ref_end, read_len, qa_start, qa_end, has_hard, rows, pos_ref,
          pos_read, lengths, is_ins, count) = result
@@ -168,10 +167,7 @@ def signatures_from_packed(packed, sa_tags, name_table, options):
                     "cigar", name))
 
     # ---- split-read segment groups -----------------------------------------------
-    if packed.has_hard_clip is not None:
-        has_hard_clip = packed.has_hard_clip
-    else:
-        has_hard_clip = ((packed.cigar_ops == 5) & (packed.cigar_lens > 0)).any(axis=1)
+    has_hard_clip = packed.has_hard_clip
     supplementary = (packed.flag & FSUPPLEMENTARY) != 0
     group_rows: List[int] = []
     group_segments: List[List] = []

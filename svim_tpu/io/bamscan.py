@@ -94,9 +94,46 @@ def scan_bam(filename: str, min_mapq: int = 0):
     return scan_bam_bytes(data, min_mapq)
 
 
+class LazyStrings:
+    """Per-row on-demand decoding of byte ranges (read names, SA tags)."""
+
+    def __init__(self, data: bytes, offsets, lengths, none_when_negative=False):
+        self._data = data
+        self._offsets = offsets
+        self._lengths = lengths
+        self._none_when_negative = none_when_negative
+
+    def __len__(self):
+        return len(self._offsets)
+
+    def __getitem__(self, row: int):
+        offset = int(self._offsets[row])
+        if self._none_when_negative and offset < 0:
+            return None
+        return self._data[offset:offset + int(self._lengths[row])].decode()
+
+
 def scan_bam_bytes(data: bytes, min_mapq: int = 0):
     if data[:4] != b"BAM\x01":
         raise ValueError("not a BAM stream")
+    # native fast path: C++ record walk straight into packed columns
+    try:
+        from svim_tpu import native
+        result = native.bamscan_native(data, min_mapq, bucket_size)
+    except Exception:
+        result = None
+    if result is not None:
+        (text, references, lengths, cigar_words, ref_id, pos, mapq,
+         flag, name_off, name_len, seq_off, seq_len, sa_off, sa_len) = result
+        header = AlignmentHeader.from_text(text)
+        if not header.references:
+            header = AlignmentHeader(header.hd, references, lengths, text)
+        packed = build_packed(
+            ref_id, pos, mapq, flag, cigar_words,
+            LazyStrings(data, name_off, name_len),
+            LazySequences(data, seq_off, seq_len))
+        sa_tags = LazyStrings(data, sa_off, sa_len, none_when_negative=True)
+        return header, packed, sa_tags
     offset = 4
     (l_text,) = struct.unpack_from("<i", data, offset)
     offset += 4
@@ -154,38 +191,36 @@ def scan_bam_bytes(data: bytes, min_mapq: int = 0):
 
     n = len(name_list)
     k = bucket_size(max_ops)
-    cigar_ops = np.zeros((n, k), dtype=np.int8)
-    cigar_lens = np.zeros((n, k), dtype=np.int32)
+    cigar_words = np.zeros((n, k), dtype=np.int32)
     for row, (cigar_offset, op_count) in enumerate(cigar_meta):
         if op_count:
-            raw = np.frombuffer(data, dtype="<u4", count=op_count, offset=cigar_offset)
-            cigar_ops[row, :op_count] = (raw & 0xF).astype(np.int8)
-            cigar_lens[row, :op_count] = (raw >> 4).astype(np.int32)
+            cigar_words[row, :op_count] = np.frombuffer(
+                data, dtype="<i4", count=op_count, offset=cigar_offset)
 
     packed = build_packed(
         np.asarray(ref_id_list, dtype=np.int32),
         np.asarray(pos_list, dtype=np.int32),
         np.asarray(mapq_list, dtype=np.int32),
         np.asarray(flag_list, dtype=np.int32),
-        cigar_ops, cigar_lens, name_list,
+        cigar_words, name_list,
         LazySequences(data, np.asarray(seq_offsets, dtype=np.int64),
                       np.asarray(seq_lengths, dtype=np.int64)))
     return header, packed, sa_tags
 
 
-def build_packed(ref_id, ref_start, mapq, flag, cigar_ops, cigar_lens, names,
+def build_packed(ref_id, ref_start, mapq, flag, cigar_words, names,
                  sequences) -> PackedAlignments:
-    """Assemble a PackedAlignments batch and ship the CIGAR arrays to the
-    device once.  Geometry columns (ref_end, qa bounds, ...) are filled by the
-    fused COLLECT device pass (ops.cigar_kernel.collect_scan) on first use —
-    fusing them with event compaction keeps the per-batch device round trips
-    at one."""
+    """Assemble a PackedAlignments batch and ship the raw CIGAR words to the
+    device once (BAM encoding, decoded on device).  Geometry columns
+    (ref_end, qa bounds, ...) are filled by the fused COLLECT device pass
+    (ops.cigar_kernel.collect_scan) on first use — fusing them with event
+    compaction keeps the per-batch device round trips at one."""
     import jax.numpy as jnp
 
     packed = PackedAlignments(
         n=len(names), ref_id=ref_id, ref_start=ref_start, ref_end=None,
         mapq=mapq, flag=flag, qa_start=None, qa_end=None,
-        read_len=None, cigar_ops=cigar_ops, cigar_lens=cigar_lens,
+        read_len=None, cigar_words=cigar_words,
         names=names, sequences=sequences, records=None)
-    packed.device_cigars = (jnp.asarray(cigar_ops), jnp.asarray(cigar_lens))
+    packed.device_cigars = jnp.asarray(cigar_words)
     return packed

@@ -40,12 +40,12 @@ class PackedAlignments:
     """A batch of alignments as dense arrays plus host-side string columns."""
 
     __slots__ = ("n", "ref_id", "ref_start", "ref_end", "mapq", "flag",
-                 "qa_start", "qa_end", "read_len", "cigar_ops", "cigar_lens",
+                 "qa_start", "qa_end", "read_len", "cigar_words",
                  "names", "sequences", "records", "device_cigars",
                  "has_hard_clip")
 
     def __init__(self, n, ref_id, ref_start, ref_end, mapq, flag, qa_start,
-                 qa_end, read_len, cigar_ops, cigar_lens, names, sequences,
+                 qa_end, read_len, cigar_words, names, sequences,
                  records=None, device_cigars=None, has_hard_clip=None):
         self.n = n
         self.ref_id = ref_id
@@ -56,13 +56,21 @@ class PackedAlignments:
         self.qa_start = qa_start
         self.qa_end = qa_end
         self.read_len = read_len
-        self.cigar_ops = cigar_ops
-        self.cigar_lens = cigar_lens
+        # CIGAR batch in raw BAM word encoding: length << 4 | op, padded with 0
+        self.cigar_words = cigar_words
         self.names = names
         self.sequences = sequences
         self.records = records
         self.device_cigars = device_cigars
         self.has_hard_clip = has_hard_clip
+
+    @property
+    def cigar_ops(self):
+        return (self.cigar_words & 0xF).astype(np.int8)
+
+    @property
+    def cigar_lens(self):
+        return (self.cigar_words >> 4).astype(np.int32)
 
     @property
     def is_reverse(self):
@@ -88,8 +96,7 @@ def pack_alignments(records: Sequence, pad_to: Optional[int] = None) -> PackedAl
             max_ops = len(cigar)
     k = bucket_size(max_ops) if pad_to is None else pad_to
 
-    cigar_ops = np.zeros((n, k), dtype=np.int8)
-    cigar_lens = np.zeros((n, k), dtype=np.int32)
+    cigar_words = np.zeros((n, k), dtype=np.int32)
     ref_id = np.empty(n, dtype=np.int32)
     ref_start = np.empty(n, dtype=np.int32)
     mapq = np.empty(n, dtype=np.int32)
@@ -108,11 +115,10 @@ def pack_alignments(records: Sequence, pad_to: Optional[int] = None) -> PackedAl
         if cigar:
             count = len(cigar)
             arr = np.asarray(cigar, dtype=np.int64)
-            cigar_ops[row, :count] = arr[:, 0]
-            cigar_lens[row, :count] = arr[:, 1]
+            cigar_words[row, :count] = (arr[:, 1] << 4) | arr[:, 0]
 
     from svim_tpu.io.bamscan import build_packed
-    packed = build_packed(ref_id, ref_start, mapq, flag, cigar_ops, cigar_lens,
+    packed = build_packed(ref_id, ref_start, mapq, flag, cigar_words,
                           names, sequences)
     packed.records = list(records)
     return packed

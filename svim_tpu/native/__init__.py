@@ -1,0 +1,174 @@
+"""Native C++ runtime components, built on demand with g++ via ctypes.
+
+Provides:
+- aligner.align_global(a, b): two-piece-affine global alignment (SPOA
+  algorithm=1 scoring), used by the insertion consensus;
+- aligner.edit_distance(a, b): exact Myers bit-parallel Levenshtein
+  (edlib replacement) over 64-bit words;
+- bamscan_native(data, min_mapq, k): BAM record scan into packed columns.
+
+If the shared library cannot be built (no compiler), callers fall back to the
+pure-Python implementations.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+
+_SOURCE = os.path.join(os.path.dirname(__file__), "svimnative.cpp")
+_LIBRARY = os.path.join(os.path.dirname(__file__), "_svimnative.so")
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def _build() -> bool:
+    command = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+               "-o", _LIBRARY, _SOURCE]
+    try:
+        subprocess.run(command, check=True, capture_output=True)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError) as error:
+        logging.warning("native build failed (%s); using Python fallbacks", error)
+        return False
+
+
+def get_library():
+    """The loaded shared library, building it on first use; None when
+    unavailable."""
+    global _lib, _build_failed
+    if _lib is not None or _build_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        if not os.path.exists(_LIBRARY) or (
+                os.path.getmtime(_LIBRARY) < os.path.getmtime(_SOURCE)):
+            if not _build():
+                _build_failed = True
+                return None
+        lib = ctypes.CDLL(_LIBRARY)
+        lib.gotoh_align.restype = ctypes.c_int
+        lib.gotoh_align.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float,
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64)]
+        lib.myers_distance.restype = ctypes.c_int64
+        lib.myers_distance.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64]
+        lib.bam_count.restype = ctypes.c_int
+        lib.bam_count.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+        lib.bam_fill.restype = ctypes.c_int
+        lib.bam_fill.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+class aligner:
+    """Namespace mirroring the Python fallback API in combine.consensus."""
+
+    MATCH = 2.0
+    MISMATCH = -4.0
+    GAP_OPEN1 = -4.0
+    GAP_EXT1 = -2.0
+    GAP_OPEN2 = -24.0
+    GAP_EXT2 = -1.0
+
+    @staticmethod
+    def align_global(a: str, b: str):
+        lib = get_library()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        la, lb = len(a), len(b)
+        out_a = ctypes.create_string_buffer(la + lb + 1)
+        out_b = ctypes.create_string_buffer(la + lb + 1)
+        out_len = ctypes.c_int64(0)
+        status = lib.gotoh_align(
+            a.encode(), la, b.encode(), lb,
+            aligner.MATCH, aligner.MISMATCH,
+            aligner.GAP_OPEN1, aligner.GAP_EXT1,
+            aligner.GAP_OPEN2, aligner.GAP_EXT2,
+            out_a, out_b, ctypes.byref(out_len))
+        if status != 0:
+            raise RuntimeError("gotoh_align failed")
+        n = out_len.value
+        return out_a.raw[:n].decode(), out_b.raw[:n].decode()
+
+    @staticmethod
+    def edit_distance(a: str, b: str) -> int:
+        lib = get_library()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        a_bytes = a.encode()
+        b_bytes = b.encode()
+        return int(lib.myers_distance(a_bytes, len(a_bytes), b_bytes, len(b_bytes)))
+
+
+def bamscan_native(data: bytes, min_mapq: int, bucket_size_fn):
+    """Scan uncompressed BAM bytes natively.  Returns the same tuple layout as
+    the Python scanner core, or None when the library is unavailable."""
+    import numpy as np
+
+    lib = get_library()
+    if lib is None:
+        return None
+    # header walk stays in Python (tiny)
+    import struct
+    (l_text,) = struct.unpack_from("<i", data, 4)
+    offset = 8 + l_text
+    (n_ref,) = struct.unpack_from("<i", data, offset)
+    offset += 4
+    references, lengths = [], []
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack_from("<i", data, offset)
+        offset += 4
+        references.append(data[offset:offset + l_name - 1].decode())
+        offset += l_name
+        (l_ref,) = struct.unpack_from("<i", data, offset)
+        offset += 4
+        lengths.append(l_ref)
+    body_offset = offset
+    text = data[8:8 + l_text].split(b"\x00", 1)[0].decode()
+
+    n_out = ctypes.c_int64(0)
+    max_ops_out = ctypes.c_int64(0)
+    if lib.bam_count(data, len(data), body_offset, min_mapq,
+                     ctypes.byref(n_out), ctypes.byref(max_ops_out)) != 0:
+        raise ValueError("truncated BAM stream")
+    n = n_out.value
+    k = bucket_size_fn(max(1, max_ops_out.value))
+
+    cigar_words = np.zeros((n, k), dtype=np.int32)
+    ref_id = np.empty(n, dtype=np.int32)
+    pos = np.empty(n, dtype=np.int32)
+    mapq = np.empty(n, dtype=np.int32)
+    flag = np.empty(n, dtype=np.int32)
+    name_off = np.empty(n, dtype=np.int64)
+    name_len = np.empty(n, dtype=np.int32)
+    seq_off = np.empty(n, dtype=np.int64)
+    seq_len = np.empty(n, dtype=np.int32)
+    sa_off = np.empty(n, dtype=np.int64)
+    sa_len = np.empty(n, dtype=np.int32)
+
+    def ptr(array):
+        return array.ctypes.data_as(ctypes.c_void_p)
+
+    if lib.bam_fill(data, len(data), body_offset, min_mapq, k,
+                    ptr(cigar_words), ptr(ref_id), ptr(pos),
+                    ptr(mapq), ptr(flag), ptr(name_off), ptr(name_len),
+                    ptr(seq_off), ptr(seq_len), ptr(sa_off), ptr(sa_len)) != 0:
+        raise ValueError("truncated BAM stream")
+    return (text, references, lengths, cigar_words, ref_id, pos,
+            mapq, flag, name_off, name_len, seq_off, seq_len, sa_off, sa_len)

@@ -1,0 +1,366 @@
+// svim-tpu native runtime components.
+//
+// 1. BAM record scanner: walks uncompressed BAM bytes and fills packed
+//    struct-of-array columns (the role htslib plays for the reference,
+//    SVIM_COLLECT.py:133, rebuilt for array consumers).  Two-pass:
+//    bam_count() sizes the batch, bam_fill() fills preallocated numpy
+//    buffers, including the padded (N, K) CIGAR arrays consumed by the TPU
+//    kernels.
+// 2. Two-piece-affine global aligner (Gotoh with two gap cost lines),
+//    replacing SPOA's algorithm=1 pairwise core (SVIM_COMBINE.py:208) for
+//    insertion-consensus construction and realignment.
+//
+// Plain C ABI for ctypes.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// BAM scanning
+// ---------------------------------------------------------------------------
+
+static inline int32_t rd_i32(const uint8_t* p) {
+  int32_t v;
+  std::memcpy(&v, p, 4);
+  return v;
+}
+static inline uint32_t rd_u32(const uint8_t* p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  return v;
+}
+static inline uint16_t rd_u16(const uint8_t* p) {
+  uint16_t v;
+  std::memcpy(&v, p, 2);
+  return v;
+}
+
+static const int kFUnmap = 0x4;
+static const int kFSecondary = 0x100;
+
+// Walk the tag region [p, end) and return the offset of an SA:Z value (the
+// byte after "SAZ") or -1.  Returns -2 on malformed tags.
+static int64_t find_sa(const uint8_t* data, int64_t p, int64_t end) {
+  while (p + 3 <= end) {
+    uint8_t t0 = data[p], t1 = data[p + 1], type = data[p + 2];
+    int64_t q = p + 3;
+    if (t0 == 'S' && t1 == 'A' && type == 'Z') return q;
+    switch (type) {
+      case 'A': case 'c': case 'C': q += 1; break;
+      case 's': case 'S': q += 2; break;
+      case 'i': case 'I': case 'f': q += 4; break;
+      case 'Z': case 'H':
+        while (q < end && data[q] != 0) q++;
+        q += 1;
+        break;
+      case 'B': {
+        if (q + 5 > end) return -2;
+        uint8_t sub = data[q];
+        int32_t count = rd_i32(data + q + 1);
+        int esize;
+        switch (sub) {
+          case 'c': case 'C': esize = 1; break;
+          case 's': case 'S': esize = 2; break;
+          case 'i': case 'I': case 'f': esize = 4; break;
+          default: return -2;
+        }
+        q += 5 + (int64_t)count * esize;
+        break;
+      }
+      default:
+        return -2;
+    }
+    p = q;
+  }
+  return -1;
+}
+
+// Count records passing the filter; report max cigar op count.
+// Returns 0 on success, -1 on truncated input.
+int bam_count(const uint8_t* data, int64_t size, int64_t body_offset,
+              int min_mapq, int64_t* out_n, int64_t* out_max_ops) {
+  int64_t off = body_offset;
+  int64_t n = 0;
+  int64_t max_ops = 1;
+  while (off + 4 <= size) {
+    int32_t block = rd_i32(data + off);
+    off += 4;
+    if (off + block > size || block < 32) return -1;
+    const uint8_t* r = data + off;
+    uint8_t mapq = r[9];
+    uint16_t n_cigar = rd_u16(r + 12);
+    uint16_t flag = rd_u16(r + 14);
+    if ((flag & (kFUnmap | kFSecondary)) == 0 && mapq >= min_mapq) {
+      n++;
+      if (n_cigar > max_ops) max_ops = n_cigar;
+    }
+    off += block;
+  }
+  *out_n = n;
+  *out_max_ops = max_ops;
+  return 0;
+}
+
+// Fill preallocated columns.  cigar_words is (n, k) int32 in raw BAM
+// encoding (caller-zeroed).  name/seq/sa offsets address into `data`; sa_off
+// is -1 when absent.
+int bam_fill(const uint8_t* data, int64_t size, int64_t body_offset,
+             int min_mapq, int64_t k,
+             int32_t* cigar_words,
+             int32_t* ref_id, int32_t* pos, int32_t* mapq_out,
+             int32_t* flag_out,
+             int64_t* name_off, int32_t* name_len,
+             int64_t* seq_off, int32_t* seq_len,
+             int64_t* sa_off, int32_t* sa_len) {
+  int64_t off = body_offset;
+  int64_t row = 0;
+  while (off + 4 <= size) {
+    int32_t block = rd_i32(data + off);
+    off += 4;
+    if (off + block > size || block < 32) return -1;
+    const uint8_t* r = data + off;
+    uint8_t mapq = r[9];
+    uint16_t n_cigar = rd_u16(r + 12);
+    uint16_t flag = rd_u16(r + 14);
+    if ((flag & (kFUnmap | kFSecondary)) == 0 && mapq >= min_mapq) {
+      uint8_t l_read_name = r[8];
+      int32_t l_seq = rd_i32(data + off + 16);
+      ref_id[row] = rd_i32(data + off);
+      pos[row] = rd_i32(data + off + 4);
+      mapq_out[row] = mapq;
+      flag_out[row] = flag;
+      int64_t p = off + 32;
+      name_off[row] = p;
+      name_len[row] = l_read_name - 1;
+      p += l_read_name;
+      int64_t ops_to_copy = n_cigar < k ? n_cigar : k;
+      std::memcpy(cigar_words + row * k, data + p, 4 * ops_to_copy);
+      p += 4 * (int64_t)n_cigar;
+      seq_off[row] = p;
+      seq_len[row] = l_seq;
+      p += (l_seq + 1) / 2 + l_seq;
+      int64_t sa = find_sa(data, p, off + block);
+      if (sa >= 0) {
+        int64_t nul = sa;
+        int64_t end = off + block;
+        while (nul < end && data[nul] != 0) nul++;
+        sa_off[row] = sa;
+        sa_len[row] = (int32_t)(nul - sa);
+      } else {
+        sa_off[row] = -1;
+        sa_len[row] = 0;
+      }
+      row++;
+    }
+    off += block;
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Two-piece affine global alignment (Gotoh), full traceback.
+// ---------------------------------------------------------------------------
+
+static const float kNegInf = -1e30f;
+
+// Traceback flags per cell (same layout as the Python fallback):
+// bits 0-1 best state (0 M, 1 V, 2 H); bit2 V piece2 won; bit3/4 V piece1/2
+// extended; bit5 H piece2 won; bit6/7 H piece1/2 extended.
+int gotoh_align(const char* a, int64_t la, const char* b, int64_t lb,
+                float match, float mismatch,
+                float gap_open1, float gap_ext1,
+                float gap_open2, float gap_ext2,
+                char* out_a, char* out_b, int64_t* out_len) {
+  const int64_t width = lb + 1;
+  std::vector<uint8_t> tb((la + 1) * width);
+  std::vector<float> best_prev(width), best_cur(width);
+  std::vector<float> v1_prev(width, kNegInf), v2_prev(width, kNegInf);
+  std::vector<float> v1(width), v2(width);
+
+  // row 0: horizontal gaps only
+  best_prev[0] = 0.0f;
+  {
+    float h1 = kNegInf, h2 = kNegInf;
+    for (int64_t j = 1; j < width; ++j) {
+      float open1 = best_prev[j - 1] + gap_open1;
+      float ext1 = h1 + gap_ext1;
+      h1 = std::max(open1, ext1);
+      float open2 = best_prev[j - 1] + gap_open2;
+      float ext2 = h2 + gap_ext2;
+      h2 = std::max(open2, ext2);
+      uint8_t flags = 2;
+      if (h2 > h1) flags |= 0x20;
+      if (ext1 >= open1) flags |= 0x40;
+      if (ext2 >= open2) flags |= 0x80;
+      tb[j] = flags;
+      best_prev[j] = std::max(h1, h2);
+    }
+  }
+
+  for (int64_t i = 1; i <= la; ++i) {
+    const char ca = a[i - 1];
+    uint8_t* tb_row = tb.data() + i * width;
+    {
+      float open1 = best_prev[0] + gap_open1;
+      float ext1 = v1_prev[0] + gap_ext1;
+      v1[0] = std::max(open1, ext1);
+      float open2 = best_prev[0] + gap_open2;
+      float ext2 = v2_prev[0] + gap_ext2;
+      v2[0] = std::max(open2, ext2);
+      uint8_t flags = 1;
+      if (v2[0] > v1[0]) flags |= 0x04;
+      if (ext1 >= open1) flags |= 0x08;
+      if (ext2 >= open2) flags |= 0x10;
+      tb_row[0] = flags;
+      best_cur[0] = std::max(v1[0], v2[0]);
+    }
+    float h1 = kNegInf, h2 = kNegInf;
+    for (int64_t j = 1; j < width; ++j) {
+      uint8_t flags = 0;
+      float open1 = best_prev[j] + gap_open1;
+      float ext1 = v1_prev[j] + gap_ext1;
+      v1[j] = std::max(open1, ext1);
+      if (ext1 >= open1) flags |= 0x08;
+      float open2 = best_prev[j] + gap_open2;
+      float ext2 = v2_prev[j] + gap_ext2;
+      v2[j] = std::max(open2, ext2);
+      if (ext2 >= open2) flags |= 0x10;
+      float vbest = v1[j];
+      if (v2[j] > vbest) {
+        vbest = v2[j];
+        flags |= 0x04;
+      }
+      float hopen1 = best_cur[j - 1] + gap_open1;
+      float hext1 = h1 + gap_ext1;
+      h1 = std::max(hopen1, hext1);
+      if (hext1 >= hopen1) flags |= 0x40;
+      float hopen2 = best_cur[j - 1] + gap_open2;
+      float hext2 = h2 + gap_ext2;
+      h2 = std::max(hopen2, hext2);
+      if (hext2 >= hopen2) flags |= 0x80;
+      float hbest = std::max(h1, h2);
+      if (h2 > h1) flags |= 0x20;
+      float score = best_prev[j - 1] + (ca == b[j - 1] ? match : mismatch);
+      float best;
+      if (vbest >= score && vbest >= hbest) {
+        best = vbest;
+        flags |= 1;
+      } else if (hbest >= score) {
+        best = hbest;
+        flags |= 2;
+      } else {
+        best = score;
+      }
+      best_cur[j] = best;
+      tb_row[j] = flags;
+    }
+    best_prev.swap(best_cur);
+    v1_prev.swap(v1);
+    v2_prev.swap(v2);
+  }
+
+  // traceback (gap-state persistence honored)
+  int64_t i = la, j = lb;
+  int state = tb[i * width + j] & 3;
+  int piece = 0;  // 0 = undetermined for the current gap run
+  int64_t out_pos = 0;
+  while (i > 0 || j > 0) {
+    uint8_t flags = tb[i * width + j];
+    if (state == 0) {
+      out_a[out_pos] = a[i - 1];
+      out_b[out_pos] = b[j - 1];
+      out_pos++;
+      i--;
+      j--;
+      state = tb[i * width + j] & 3;
+      piece = 0;
+    } else if (state == 1) {
+      if (piece == 0) piece = (flags & 0x04) ? 2 : 1;
+      bool extended = flags & (piece == 2 ? 0x10 : 0x08);
+      out_a[out_pos] = a[i - 1];
+      out_b[out_pos] = '-';
+      out_pos++;
+      i--;
+      if (!extended) {
+        state = tb[i * width + j] & 3;
+        piece = 0;
+      }
+    } else {
+      if (piece == 0) piece = (flags & 0x20) ? 2 : 1;
+      bool extended = flags & (piece == 2 ? 0x80 : 0x40);
+      out_a[out_pos] = '-';
+      out_b[out_pos] = b[j - 1];
+      out_pos++;
+      j--;
+      if (!extended) {
+        state = tb[i * width + j] & 3;
+        piece = 0;
+      }
+    }
+  }
+  // reverse in place
+  for (int64_t l = 0, r2 = out_pos - 1; l < r2; ++l, --r2) {
+    std::swap(out_a[l], out_a[r2]);
+    std::swap(out_b[l], out_b[r2]);
+  }
+  *out_len = out_pos;
+  return 0;
+}
+
+// Myers bit-parallel Levenshtein distance over 64-bit words (edlib's role,
+// SVIM_clustering.py:45).  Exact, unbounded.
+int64_t myers_distance(const uint8_t* pattern, int64_t m,
+                       const uint8_t* text, int64_t n) {
+  if (m == 0) return n;
+  if (n == 0) return m;
+  if (m > n) {
+    const uint8_t* t = pattern;
+    pattern = text;
+    text = t;
+    int64_t tmp = m;
+    m = n;
+    n = tmp;
+  }
+  const int64_t words = (m + 63) / 64;
+  std::vector<uint64_t> peq(256 * words, 0);
+  for (int64_t i = 0; i < m; ++i)
+    peq[pattern[i] * words + i / 64] |= 1ULL << (i % 64);
+  std::vector<uint64_t> pv(words, ~0ULL), mv(words, 0);
+  const uint64_t high = 1ULL << ((m - 1) % 64);
+  int64_t score = m;
+  for (int64_t t = 0; t < n; ++t) {
+    const uint64_t* eq_row = peq.data() + text[t] * words;
+    uint64_t carry_ph = 1, carry_mh = 0, carry_add = 0;
+    for (int64_t w = 0; w < words; ++w) {
+      uint64_t eq = eq_row[w];
+      uint64_t pvw = pv[w], mvw = mv[w];
+      uint64_t xv = eq | mvw;
+      // (eq & pv) + pv with carry across words
+      uint64_t band = eq & pvw;
+      uint64_t partial = band + carry_add;
+      uint64_t carry1 = partial < band ? 1 : 0;
+      uint64_t sum = partial + pvw;
+      carry_add = carry1 | (sum < partial ? 1 : 0);
+      uint64_t xh = (sum ^ pvw) | eq;
+      uint64_t ph = mvw | ~(xh | pvw);
+      uint64_t mh = pvw & xh;
+      if (w == words - 1) {
+        if (ph & high) score++;
+        else if (mh & high) score--;
+      }
+      uint64_t ph_shift = (ph << 1) | carry_ph;
+      carry_ph = ph >> 63;
+      uint64_t mh_shift = (mh << 1) | carry_mh;
+      carry_mh = mh >> 63;
+      pv[w] = mh_shift | ~(xv | ph_shift);
+      mv[w] = ph_shift & xv;
+    }
+  }
+  return score;
+}
+
+}  // extern "C"

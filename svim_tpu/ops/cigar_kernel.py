@@ -1,37 +1,33 @@
-"""Vectorized CIGAR indel scan.
+"""Vectorized CIGAR indel scan + per-alignment geometry.
 
 Array-path replacement for the per-op Python walk (reference:
-SVIM_intra.py:8-30, HOT LOOP #2).  A batch of padded CIGARs (N, K) is scanned
-in one shot: exclusive cumulative sums give the reference/read offset at every
-op, and masked compares select the I/D runs >= min_sv_size.  Everything is
-elementwise + cumsum, so XLA lays it onto the VPU with no host round-trips.
+SVIM_intra.py:8-30, HOT LOOP #2) and the pysam geometry accessors
+(SVIM_inter.py:30-39).  A batch of padded CIGARs travels to the device in raw
+BAM word encoding (length << 4 | op) and is decoded on device — no host-side
+splitting, minimal transfer.  Exclusive cumulative sums give the
+reference/read offset at every op; masked compares select the I/D runs
+>= min_sv_size; the sparse events are compacted ON DEVICE so only a few KB
+return to the host.
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-@jax.jit
-def cigar_indel_scan(cigar_ops: jax.Array, cigar_lens: jax.Array,
-                     min_sv_size: jax.Array):
-    """Scan padded CIGAR batches for indel events.
+def _decode(cigar_words: jax.Array):
+    """BAM word encoding -> (ops, lens).  Words are int32 with op in the low
+    4 bits; lengths < 2^27 keep the value nonnegative."""
+    ops = cigar_words & 0xF
+    lens = cigar_words >> 4
+    return ops, lens
 
-    Args:
-      cigar_ops: (N, K) int8 CIGAR op codes (M=0 I=1 D=2 N=3 S=4 H=5 P=6 ==7 X=8),
-        padding rows/cells must have length 0.
-      cigar_lens: (N, K) int32 op lengths.
-      min_sv_size: scalar int32 threshold.
 
-    Returns:
-      del_mask, ins_mask: (N, K) bool — D/I runs >= min_sv_size
-      pos_ref, pos_read: (N, K) int32 — offsets from the alignment start at
-        each op (exclusive of the op itself), matching the host scan.
-    """
-    ops = cigar_ops
-    lens = cigar_lens
+def _scan(ops, lens, min_sv_size):
     is_match = (ops == 0) | (ops == 7) | (ops == 8)
     ref_advance = jnp.where(is_match | (ops == 2), lens, 0)
     read_advance = jnp.where(is_match | (ops == 1) | (ops == 4), lens, 0)
@@ -43,19 +39,29 @@ def cigar_indel_scan(cigar_ops: jax.Array, cigar_lens: jax.Array,
     return del_mask, ins_mask, pos_ref, pos_read
 
 
-from functools import partial
+@jax.jit
+def cigar_indel_scan(cigar_words: jax.Array, min_sv_size: jax.Array):
+    """Scan padded CIGAR batches for indel events.
+
+    Args:
+      cigar_words: (N, K) int32 raw BAM cigar words, padded with 0.
+      min_sv_size: scalar int32 threshold.
+
+    Returns:
+      del_mask, ins_mask: (N, K) bool — D/I runs >= min_sv_size
+      pos_ref, pos_read: (N, K) int32 — offsets from the alignment start at
+        each op (exclusive of the op itself), matching the host scan
+        (M/=/X advance both, I the read, D the reference, S the read;
+        N/H/P advance neither — SVIM_intra.py:14-29).
+    """
+    ops, lens = _decode(cigar_words)
+    return _scan(ops, lens, min_sv_size)
 
 
-def _geometry(cigar_ops: jax.Array, cigar_lens: jax.Array,
-              ref_start: jax.Array):
-    """Per-alignment geometry from padded CIGARs, pysam semantics:
-    reference_end (M/D/N/=/X), inferred read length incl. hard clips,
-    query-alignment bounds (soft clips only), and hard-clip presence.
-
-    Replaces the O(ops) host walks behind pysam's accessors for whole batches
-    at once (consumed at SVIM_inter.py:30-39)."""
-    ops = cigar_ops
-    lens = cigar_lens
+def _geometry(ops, lens, ref_start):
+    """Per-alignment geometry, pysam semantics: reference_end (M/D/N/=/X),
+    inferred read length incl. hard clips, query-alignment bounds (soft clips
+    only), and hard-clip presence."""
     is_match = (ops == 0) | (ops == 7) | (ops == 8)
     ref_consuming = is_match | (ops == 2) | (ops == 3)
     query_consuming = is_match | (ops == 1) | (ops == 4)
@@ -77,19 +83,21 @@ def _geometry(cigar_ops: jax.Array, cigar_lens: jax.Array,
     return ref_end, read_len, qa_start, qa_end, has_hard_clip
 
 
-alignment_geometry = jax.jit(_geometry)
+@jax.jit
+def alignment_geometry(cigar_words: jax.Array, ref_start: jax.Array):
+    ops, lens = _decode(cigar_words)
+    return _geometry(ops, lens, ref_start)
 
 
-def _compact_events(cigar_ops, cigar_lens, min_sv_size, max_events):
+def _compact_events(ops, lens, min_sv_size, max_events):
     """Scan + on-device compaction: only the sparse events travel back to the
     host (the full masks would be N*K booleans — hostile to a tunneled TPU).
 
     Returns (rows, pos_ref, pos_read, lengths, is_insertion, count); entries
     past `count` are fill.  If count > max_events the caller must retry with a
     larger bound."""
-    del_mask, ins_mask, pos_ref, pos_read = cigar_indel_scan(
-        cigar_ops, cigar_lens, min_sv_size)
-    k = cigar_ops.shape[1]
+    del_mask, ins_mask, pos_ref, pos_read = _scan(ops, lens, min_sv_size)
+    k = ops.shape[1]
     event = (del_mask | ins_mask).ravel()
     count = jnp.sum(event, dtype=jnp.int32)
     (flat_idx,) = jnp.nonzero(event, size=max_events, fill_value=-1)
@@ -100,23 +108,28 @@ def _compact_events(cigar_ops, cigar_lens, min_sv_size, max_events):
     return (rows,
             pos_ref[safe_rows, safe_cols],
             pos_read[safe_rows, safe_cols],
-            cigar_lens[safe_rows, safe_cols],
+            lens[safe_rows, safe_cols],
             ins_mask[safe_rows, safe_cols],
             count)
 
 
-cigar_indel_scan_compact = jax.jit(_compact_events, static_argnames=("max_events",))
+@partial(jax.jit, static_argnames=("max_events",))
+def cigar_indel_scan_compact(cigar_words: jax.Array, min_sv_size: jax.Array,
+                             max_events: int):
+    ops, lens = _decode(cigar_words)
+    return _compact_events(ops, lens, min_sv_size, max_events)
 
 
 @partial(jax.jit, static_argnames=("max_events",))
-def collect_scan(cigar_ops: jax.Array, cigar_lens: jax.Array,
-                 ref_start: jax.Array, min_sv_size: jax.Array, max_events: int):
+def collect_scan(cigar_words: jax.Array, ref_start: jax.Array,
+                 min_sv_size: jax.Array, max_events: int):
     """Fused COLLECT device pass: geometry columns + compacted indel events in
-    ONE device call — a single host->device transfer of the CIGAR batch and a
-    single small device->host result, which is what keeps the tunneled-TPU
+    ONE device call — a single host->device transfer of the raw CIGAR batch
+    and a single small device->host result, which keeps the tunneled-TPU
     round-trip count at one per batch."""
-    geometry = _geometry(cigar_ops, cigar_lens, ref_start)
-    events = _compact_events(cigar_ops, cigar_lens, min_sv_size, max_events)
+    ops, lens = _decode(cigar_words)
+    geometry = _geometry(ops, lens, ref_start)
+    events = _compact_events(ops, lens, min_sv_size, max_events)
     return geometry + events
 
 
@@ -127,21 +140,20 @@ def _round_up_pow2(value: int) -> int:
     return result
 
 
-def cigar_indel_events(cigar_ops: np.ndarray, cigar_lens: np.ndarray,
-                       min_sv_size: int, expected_events_per_row: int = 4):
+def cigar_indel_events(cigar_words: np.ndarray, min_sv_size: int,
+                       expected_events_per_row: int = 4):
     """Run the device scan with on-device compaction, growing the event bound
     on overflow.
 
     Returns (rows, pos_ref, pos_read, lengths, is_insertion) as numpy arrays,
     ordered by (row, op index) like the sequential host scan."""
-    n = cigar_ops.shape[0]
+    n = cigar_words.shape[0]
     max_events = _round_up_pow2(max(1024, n * expected_events_per_row))
-    ops = jnp.asarray(cigar_ops)
-    lens = jnp.asarray(cigar_lens)
+    words = jnp.asarray(cigar_words)
     threshold = jnp.int32(min_sv_size)
     while True:
         rows, pos_ref, pos_read, lengths, is_ins, count = jax.device_get(
-            cigar_indel_scan_compact(ops, lens, threshold, max_events))
+            cigar_indel_scan_compact(words, threshold, max_events))
         if count <= max_events:
             break
         max_events = _round_up_pow2(int(count))
