@@ -122,7 +122,7 @@ def main():
     best = float("inf")
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        _header, signatures, _twins = collect_signatures_from_bam(bam_path, options)
+        _header, _packed, signatures, _twins = collect_signatures_from_bam(bam_path, options)
         collect_time = time.perf_counter() - t0
         t0 = time.perf_counter()
         run_cluster(signatures, options)

@@ -32,6 +32,14 @@ from svim_tpu.plots import plot_sv_alleles, plot_sv_lengths
 from svim_tpu.utils.timing import StageTimer
 
 
+def _device_description():
+    try:
+        import jax
+        return ", ".join(str(device) for device in jax.devices())
+    except Exception:
+        return "unknown device"
+
+
 def _setup_logging(options):
     log_formatter = logging.Formatter("%(asctime)s [%(levelname)-7.7s]  %(message)s")
     root_logger = logging.getLogger()
@@ -86,6 +94,21 @@ def _collect(options):
 
     logging.info("MODE: alignment")
     logging.info("INPUT: {0}".format(os.path.abspath(options.bam_file)))
+    with open(options.bam_file, "rb") as probe:
+        is_bgzf = probe.read(2) == b"\x1f\x8b"
+    if is_bgzf and options.device_backend != "host":
+        # array path: packed scanner + device kernels for coordinate-sorted BAM
+        from svim_tpu.collect.packed import collect_signatures_from_bam
+        from svim_tpu.io.packed_fetch import PackedAlignmentIndex
+        header, packed, sigs, trans = collect_signatures_from_bam(
+            options.bam_file, options)
+        sort_order = header.sort_order
+        if sort_order == "coordinate":
+            logging.info("Using the packed array COLLECT path on {0}".format(
+                _device_description()))
+            return PackedAlignmentIndex(packed, header), sigs, trans, options
+        # fall through to the sequential reader for non-coordinate inputs
+
     aln_file = AlignmentFile(options.bam_file)
     try:
         sort_order = aln_file.header["HD"]["SO"]

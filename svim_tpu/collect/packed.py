@@ -92,11 +92,14 @@ def collect_signatures_packed(bam, options):
 
 def collect_signatures_from_bam(bam_path: str, options):
     """COLLECT straight from a BAM file via the packed scanner (no
-    AlignmentRecord materialization).  Returns (header, signatures, twins)."""
+    AlignmentRecord materialization).
+
+    Returns (header, packed, signatures, twins); the packed batch serves
+    downstream region queries (genotyping) without re-parsing."""
     from svim_tpu.io.bamscan import scan_bam
     header, packed, sa_tags = scan_bam(bam_path, options.min_mapq)
     signatures, twins = signatures_from_packed(packed, sa_tags, header, options)
-    return header, signatures, twins
+    return header, packed, signatures, twins
 
 
 def _run_collect_scan(packed, options):

@@ -77,7 +77,7 @@ class Config:
     zmws: bool = False
 
     # svim-tpu specific execution knobs (new capability; no reference analog)
-    device_backend: str = "auto"       # "auto" | "tpu" | "cpu"
+    device_backend: str = "auto"       # "auto" | "tpu" | "cpu" | "host" (no kernels)
     num_shards: int = 1                # data-parallel read shards over the mesh
     batch_reads: int = 4096            # reads per packed device batch
     profile: bool = False              # emit jax.profiler traces per stage
@@ -158,8 +158,9 @@ def _add_common_options(parser: argparse.ArgumentParser) -> None:
 
     execution = parser.add_argument_group("EXECUTION (svim-tpu)")
     execution.add_argument("--device_backend", type=str, default=d.device_backend,
-                           choices=("auto", "tpu", "cpu"),
-                           help="Device backend for the array path (default: %(default)s).")
+                           choices=("auto", "tpu", "cpu", "host"),
+                           help="Device backend for the array path; 'host' disables "
+                                "the device kernels entirely (default: %(default)s).")
     execution.add_argument("--num_shards", type=int, default=d.num_shards,
                            help="Number of data-parallel read shards across the device mesh (default: %(default)s).")
     execution.add_argument("--batch_reads", type=int, default=d.batch_reads,
