@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 
 from svim_tpu.cluster.distance import BND_NORMALIZER, SAME_READ_WALL
-from svim_tpu.cluster.edit_distance import edit_distance
+from svim_tpu.cluster.edit_distance import batch_edit_distances, edit_distance
 
 WINDOW_PADDING = 100  # reference window around insertion starts (SVIM_clustering.py:32)
 
@@ -99,14 +99,19 @@ def distance_matrix(elements, element_type, reference, options):
             window = PartitionWindow(reference, elements[0].contig,
                                      int(starts.min()), int(starts.max()))
             sequences = [e.sequence.upper() for e in elements]
+            haplotype_pairs = []
             for i, j in zip(pairs_i.tolist(), pairs_j.tolist()):
                 w_start = min(starts[i], starts[j]) - WINDOW_PADDING
                 w_end = max(starts[i], starts[j]) + WINDOW_PADDING
-                haplotype_i = (window.slice(w_start, starts[i]) + sequences[i]
-                               + window.slice(starts[i], w_end))
-                haplotype_j = (window.slice(w_start, starts[j]) + sequences[j]
-                               + window.slice(starts[j], w_end))
-                distance = edit_distance(haplotype_i, haplotype_j)
+                haplotype_pairs.append((
+                    window.slice(w_start, starts[i]) + sequences[i]
+                    + window.slice(starts[i], w_end),
+                    window.slice(w_start, starts[j]) + sequences[j]
+                    + window.slice(starts[j], w_end)))
+            distances = batch_edit_distances(
+                haplotype_pairs, getattr(options, "edit_backend", "auto"))
+            for (i, j), distance in zip(zip(pairs_i.tolist(), pairs_j.tolist()),
+                                        distances):
                 value = (position_distance[i, j]
                          + distance / max_span[i, j] / options.edit_distance_normalizer)
                 matrix[i, j] = matrix[j, i] = value

@@ -35,6 +35,20 @@ def edit_distance(pattern: str, text: str) -> int:
     return edit_distance_py(pattern, text)
 
 
+def batch_edit_distances(pairs, backend: str = "auto"):
+    """Exact edit distances for many (a, b) pairs.
+
+    backend: "auto" (native Myers per pair, fastest for typical partition
+    sizes), "wavefront" (banded anti-diagonal device kernel — the TPU-scale
+    path), or "python"."""
+    if backend == "wavefront":
+        from svim_tpu.ops.wavefront_kernel import batched_edit_distance
+        return batched_edit_distance(pairs)
+    if backend == "python":
+        return [edit_distance_py(a, b) for a, b in pairs]
+    return [edit_distance(a, b) for a, b in pairs]
+
+
 def edit_distance_py(pattern: str, text: str) -> int:
     """Big-integer Myers recurrence (portable fallback)."""
     m = len(pattern)

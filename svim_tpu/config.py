@@ -78,6 +78,7 @@ class Config:
 
     # svim-tpu specific execution knobs (new capability; no reference analog)
     device_backend: str = "auto"       # "auto" | "tpu" | "cpu" | "host" (no kernels)
+    edit_backend: str = "auto"         # "auto" | "wavefront" | "python"
     num_shards: int = 1                # data-parallel read shards over the mesh
     batch_reads: int = 4096            # reads per packed device batch
     profile: bool = False              # emit jax.profiler traces per stage
@@ -161,6 +162,11 @@ def _add_common_options(parser: argparse.ArgumentParser) -> None:
                            choices=("auto", "tpu", "cpu", "host"),
                            help="Device backend for the array path; 'host' disables "
                                 "the device kernels entirely (default: %(default)s).")
+    execution.add_argument("--edit_backend", type=str, default=d.edit_backend,
+                           choices=("auto", "wavefront", "python"),
+                           help="Edit-distance backend for insertion clustering: "
+                                "native Myers (auto), the banded device kernel "
+                                "(wavefront), or pure Python (default: %(default)s).")
     execution.add_argument("--num_shards", type=int, default=d.num_shards,
                            help="Number of data-parallel read shards across the device mesh (default: %(default)s).")
     execution.add_argument("--batch_reads", type=int, default=d.batch_reads,
