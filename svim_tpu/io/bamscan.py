@@ -89,8 +89,16 @@ def scan_bam(filename: str, min_mapq: int = 0):
     mapq >= min_mapq) are packed — same filter as SVIM_COLLECT.py:143.
     sa_tags[i] is the SA string of row i or None.
     """
-    with gzip.open(filename, "rb") as handle:
-        data = handle.read()
+    with open(filename, "rb") as handle:
+        compressed = handle.read()
+    data = None
+    try:
+        from svim_tpu import native
+        data = native.bgzf_decompress_parallel(compressed)
+    except Exception:
+        data = None
+    if data is None:
+        data = gzip.decompress(compressed)
     return scan_bam_bytes(data, min_mapq)
 
 

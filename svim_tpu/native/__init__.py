@@ -28,7 +28,7 @@ _build_failed = False
 
 def _build() -> bool:
     command = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-               "-o", _LIBRARY, _SOURCE]
+               "-o", _LIBRARY, _SOURCE, "-lz", "-lpthread"]
     try:
         subprocess.run(command, check=True, capture_output=True)
         return True
@@ -61,6 +61,12 @@ def get_library():
         lib.myers_distance.restype = ctypes.c_int64
         lib.myers_distance.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64]
+        lib.bgzf_uncompressed_size.restype = ctypes.c_int64
+        lib.bgzf_uncompressed_size.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.bgzf_decompress.restype = ctypes.c_int
+        lib.bgzf_decompress.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int]
         lib.bam_count.restype = ctypes.c_int
         lib.bam_count.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
@@ -114,6 +120,24 @@ class aligner:
         a_bytes = a.encode()
         b_bytes = b.encode()
         return int(lib.myers_distance(a_bytes, len(a_bytes), b_bytes, len(b_bytes)))
+
+
+def bgzf_decompress_parallel(data: bytes, n_threads: int = 0):
+    """Multithreaded BGZF inflate (htslib-style block parallelism).
+    Returns bytes, or None when the native library is unavailable or the
+    stream is not BGZF."""
+    lib = get_library()
+    if lib is None:
+        return None
+    if n_threads <= 0:
+        n_threads = min(8, os.cpu_count() or 1)
+    total = lib.bgzf_uncompressed_size(data, len(data))
+    if total < 0:
+        return None
+    out = ctypes.create_string_buffer(total)
+    if lib.bgzf_decompress(data, len(data), out, total, n_threads) != 0:
+        return None
+    return out.raw
 
 
 def bamscan_native(data: bytes, min_mapq: int, bucket_size_fn):

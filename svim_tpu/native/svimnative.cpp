@@ -15,9 +15,102 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
+#include <zlib.h>
+
 extern "C" {
+
+// ---------------------------------------------------------------------------
+// Parallel BGZF decompression
+// ---------------------------------------------------------------------------
+//
+// BGZF is a sequence of independent gzip members with the compressed block
+// size recorded in a BC extra subfield, so blocks can inflate concurrently
+// (htslib does the same with its thread pool).
+
+struct BgzfBlock {
+  int64_t in_off;
+  int64_t in_size;    // total member size
+  int64_t out_off;
+  int64_t out_size;   // ISIZE
+};
+
+static int scan_bgzf(const uint8_t* data, int64_t size,
+                     std::vector<BgzfBlock>* blocks, int64_t* total_out) {
+  int64_t off = 0;
+  int64_t out = 0;
+  while (off + 18 <= size) {
+    if (data[off] != 0x1f || data[off + 1] != 0x8b) return -1;
+    uint16_t xlen = (uint16_t)(data[off + 10] | (data[off + 11] << 8));
+    // find the BC subfield inside the extra area
+    int64_t extra = off + 12;
+    int64_t extra_end = extra + xlen;
+    int bsize = -1;
+    while (extra + 4 <= extra_end) {
+      uint8_t s1 = data[extra], s2 = data[extra + 1];
+      uint16_t slen = (uint16_t)(data[extra + 2] | (data[extra + 3] << 8));
+      if (s1 == 'B' && s2 == 'C' && slen == 2)
+        bsize = (data[extra + 4] | (data[extra + 5] << 8)) + 1;
+      extra += 4 + slen;
+    }
+    if (bsize <= 0) return -1;
+    if (off + bsize > size) return -1;
+    uint32_t isize;
+    std::memcpy(&isize, data + off + bsize - 4, 4);
+    blocks->push_back({off, bsize, out, (int64_t)isize});
+    out += isize;
+    off += bsize;
+  }
+  *total_out = out;
+  return 0;
+}
+
+// Report the total uncompressed size so the caller can allocate.
+int64_t bgzf_uncompressed_size(const uint8_t* data, int64_t size) {
+  std::vector<BgzfBlock> blocks;
+  int64_t total = 0;
+  if (scan_bgzf(data, size, &blocks, &total) != 0) return -1;
+  return total;
+}
+
+// Inflate all blocks into `out` (caller-allocated) with `n_threads` workers.
+int bgzf_decompress(const uint8_t* data, int64_t size, uint8_t* out,
+                    int64_t out_size, int n_threads) {
+  std::vector<BgzfBlock> blocks;
+  int64_t total = 0;
+  if (scan_bgzf(data, size, &blocks, &total) != 0) return -1;
+  if (total != out_size) return -2;
+  if (n_threads < 1) n_threads = 1;
+  std::vector<int> errors(n_threads, 0);
+  auto worker = [&](int worker_id) {
+    z_stream stream;
+    for (size_t b = worker_id; b < blocks.size(); b += n_threads) {
+      const BgzfBlock& block = blocks[b];
+      if (block.out_size == 0) continue;
+      std::memset(&stream, 0, sizeof(stream));
+      if (inflateInit2(&stream, -15) != Z_OK) { errors[worker_id] = 1; return; }
+      // skip the fixed 12-byte header + xlen extra
+      uint16_t xlen = (uint16_t)(data[block.in_off + 10]
+                                 | (data[block.in_off + 11] << 8));
+      int64_t payload = block.in_off + 12 + xlen;
+      stream.next_in = const_cast<uint8_t*>(data + payload);
+      stream.avail_in = (uInt)(block.in_size - (payload - block.in_off) - 8);
+      stream.next_out = out + block.out_off;
+      stream.avail_out = (uInt)block.out_size;
+      int status = inflate(&stream, Z_FINISH);
+      inflateEnd(&stream);
+      if (status != Z_STREAM_END) { errors[worker_id] = 1; return; }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < n_threads; ++t) threads.emplace_back(worker, t);
+  worker(0);
+  for (auto& thread : threads) thread.join();
+  for (int error : errors) if (error) return -3;
+  return 0;
+}
 
 // ---------------------------------------------------------------------------
 // BAM scanning
