@@ -27,9 +27,12 @@ GAP_EXT1 = -2
 GAP_OPEN2 = -24
 GAP_EXT2 = -1
 
-# guard against pathological DP sizes (SPOA raises MemoryError there;
-# reference catches it and reports status 2)
-MAX_DP_CELLS = 64_000_000
+# guards against pathological DP sizes (SPOA raises MemoryError there;
+# reference catches it and reports status 2).  The native aligner holds one
+# byte of traceback per cell, so it affords far larger problems (a full
+# 10 kb x 10 kb haplotype pair is ~110 MB) than the Python fallback.
+MAX_DP_CELLS_NATIVE = 256_000_000
+MAX_DP_CELLS_PY = 16_000_000
 
 NEG_INF = float("-inf")
 
@@ -42,13 +45,20 @@ def align_global(a: str, b: str):
         return "-" * len(b), b
     if len(b) == 0:
         return a, "-" * len(a)
-    if (len(a) + 1) * (len(b) + 1) > MAX_DP_CELLS:
-        raise MemoryError("alignment DP too large: {0}x{1}".format(len(a), len(b)))
+    cells = (len(a) + 1) * (len(b) + 1)
     try:
-        from svim_tpu.native import aligner
-        return aligner.align_global(a, b)
+        from svim_tpu.native import aligner, get_library
+        if get_library() is not None:
+            if cells > MAX_DP_CELLS_NATIVE:
+                raise MemoryError("alignment DP too large: {0}x{1}".format(len(a), len(b)))
+            return aligner.align_global(a, b)
+    except MemoryError:
+        raise
     except Exception:
-        return _align_global_py(a, b)
+        pass
+    if cells > MAX_DP_CELLS_PY:
+        raise MemoryError("alignment DP too large: {0}x{1}".format(len(a), len(b)))
+    return _align_global_py(a, b)
 
 
 def _align_global_py(a: str, b: str):
