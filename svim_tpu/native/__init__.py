@@ -61,6 +61,9 @@ def get_library():
         lib.myers_distance.restype = ctypes.c_int64
         lib.myers_distance.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64]
+        lib.edit_distance_fast.restype = ctypes.c_int64
+        lib.edit_distance_fast.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64]
         lib.bgzf_uncompressed_size.restype = ctypes.c_int64
         lib.bgzf_uncompressed_size.argtypes = [ctypes.c_char_p, ctypes.c_int64]
         lib.bgzf_decompress.restype = ctypes.c_int
@@ -114,6 +117,18 @@ class aligner:
 
     @staticmethod
     def edit_distance(a: str, b: str) -> int:
+        """Output-sensitive exact Levenshtein (banded + doubling)."""
+        lib = get_library()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        a_bytes = a.encode()
+        b_bytes = b.encode()
+        return int(lib.edit_distance_fast(a_bytes, len(a_bytes),
+                                          b_bytes, len(b_bytes)))
+
+    @staticmethod
+    def edit_distance_full(a: str, b: str) -> int:
+        """Unbanded Myers bit-parallel recurrence (validation oracle)."""
         lib = get_library()
         if lib is None:
             raise RuntimeError("native library unavailable")

@@ -404,6 +404,76 @@ int gotoh_align(const char* a, int64_t la, const char* b, int64_t lb,
   return 0;
 }
 
+// Banded Levenshtein: exact distance if <= band, else -1.  O(n * band).
+static int64_t banded_levenshtein(const uint8_t* a, int64_t m,
+                                  const uint8_t* b, int64_t n, int64_t band) {
+  if (m > n) {
+    const uint8_t* t = a;
+    a = b;
+    b = t;
+    int64_t tmp = m;
+    m = n;
+    n = tmp;
+  }
+  if (n - m > band) return -1;
+  const int32_t kInf = 1 << 28;
+  // window of columns [lo, hi] per row of a
+  std::vector<int32_t> prev(2 * band + 2, kInf), cur(2 * band + 2, kInf);
+  // row 0: D(0, j) = j for j in [0, band]
+  for (int64_t j = 0; j <= band && j <= n; ++j) prev[j] = (int32_t)j;
+  int64_t prev_lo = 0;
+  for (int64_t i = 1; i <= m; ++i) {
+    int64_t lo = i - band < 0 ? 0 : i - band;
+    int64_t hi = i + band > n ? n : i + band;
+    const uint8_t ca = a[i - 1];
+    for (int64_t j = lo; j <= hi; ++j) {
+      int32_t best = kInf;
+      if (j == 0) {
+        best = (int32_t)i;
+      } else {
+        int64_t pd = j - 1 - prev_lo;   // diagonal in prev window
+        if (pd >= 0 && pd < (int64_t)prev.size() - 1 && prev[pd] < kInf) {
+          int32_t v = prev[pd] + (ca == b[j - 1] ? 0 : 1);
+          if (v < best) best = v;
+        }
+        int64_t pu = j - prev_lo;       // above in prev window
+        if (pu >= 0 && pu < (int64_t)prev.size() - 1 && prev[pu] < kInf) {
+          int32_t v = prev[pu] + 1;
+          if (v < best) best = v;
+        }
+        if (j - 1 >= lo) {
+          int32_t v = cur[j - 1 - lo] + 1;
+          if (v < best) best = v;
+        }
+      }
+      cur[j - lo] = best;
+    }
+    // clear stale tail
+    for (int64_t c = hi - lo + 1; c < (int64_t)cur.size(); ++c) cur[c] = kInf;
+    prev.swap(cur);
+    prev_lo = lo;
+  }
+  int64_t fd = n - prev_lo;
+  if (fd < 0 || fd >= (int64_t)prev.size()) return -1;
+  int32_t result = prev[fd];
+  if (result > band) return -1;
+  return result;
+}
+
+// Output-sensitive exact Levenshtein: banded with doubling, falling back to
+// the full bit-parallel recurrence only for very distant pairs.
+int64_t edit_distance_fast(const uint8_t* a, int64_t m,
+                           const uint8_t* b, int64_t n) {
+  if (m == 0) return n;
+  if (n == 0) return m;
+  int64_t max_len = m > n ? m : n;
+  for (int64_t band = 64; band < max_len; band *= 4) {
+    int64_t d = banded_levenshtein(a, m, b, n, band);
+    if (d >= 0) return d;
+  }
+  return banded_levenshtein(a, m, b, n, max_len);
+}
+
 // Myers bit-parallel Levenshtein distance over 64-bit words (edlib's role,
 // SVIM_clustering.py:45).  Exact, unbounded.
 int64_t myers_distance(const uint8_t* pattern, int64_t m,
