@@ -206,20 +206,44 @@ def _align_global_py(a: str, b: str):
     return "".join(reversed(row_a)), "".join(reversed(row_b))
 
 
-def poa_consensus(sequences):
-    """Consensus of several similar sequences via star MSA: align every
-    sequence to a center, build columns, take per-column majority."""
-    if len(sequences) == 1:
+def poa_consensus(sequences, refine_rounds=2):
+    """Consensus of several similar sequences via star MSA with iterative
+    refinement: align every sequence to a center, vote per column, then
+    re-anchor on the round's consensus and vote again.  The refinement round
+    removes most of the center-choice bias that a single star pass has on
+    indel-noisy reads (the role SPOA's order-independent graph plays)."""
+    consensus = _star_consensus(sequences)
+    for _ in range(refine_rounds):
+        if not consensus:
+            break
+        refined = _star_consensus(sequences, center=consensus)
+        if refined == consensus:
+            break
+        consensus = refined
+    return consensus
+
+
+def _star_consensus(sequences, center=None):
+    if len(sequences) == 1 and center is None:
         return sequences[0]
-    # center: the sequence of median length (stable choice)
-    order = sorted(range(len(sequences)), key=lambda k: (len(sequences[k]), k))
-    center = sequences[order[len(order) // 2]]
-    others = [sequences[k] for k in range(len(sequences)) if k != order[len(order) // 2]]
+    if center is None:
+        # center: the sequence of median length (stable choice)
+        order = sorted(range(len(sequences)), key=lambda k: (len(sequences[k]), k))
+        center = sequences[order[len(order) // 2]]
+        others = [sequences[k] for k in range(len(sequences))
+                  if k != order[len(order) // 2]]
+        center_votes = True       # the center is a real member and votes
+    else:
+        others = list(sequences)
+        center_votes = False      # synthetic anchor (previous consensus)
 
     # per center-position insertion blocks and aligned characters
     center_len = len(center)
     insert_blocks = [[] for _ in range(center_len + 1)]  # list of inserted strings before pos
-    column_chars = [[center[i]] for i in range(center_len)]
+    if center_votes:
+        column_chars = [[center[i]] for i in range(center_len)]
+    else:
+        column_chars = [[] for _ in range(center_len)]
 
     for seq in others:
         row_center, row_seq = align_global(center, seq)
@@ -243,7 +267,7 @@ def poa_consensus(sequences):
         for idx in range(center_len):
             column_chars[idx].append(aligned[idx] if aligned[idx] is not None else "-")
 
-    total = len(sequences)
+    total = len(others) + (1 if center_votes else 0)
     consensus = []
 
     def vote(chars, n_rows):
