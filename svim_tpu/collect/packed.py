@@ -90,12 +90,23 @@ def collect_signatures_packed(bam, options):
     return signatures_from_packed(packed, sa_tags, bam, options)
 
 
+STREAMING_THRESHOLD_BYTES = 256 * 1024 * 1024
+
+
 def collect_signatures_from_bam(bam_path: str, options):
     """COLLECT straight from a BAM file via the packed scanner (no
     AlignmentRecord materialization).
 
-    Returns (header, packed, signatures, twins); the packed batch serves
-    downstream region queries (genotyping) without re-parsing."""
+    Large inputs (or --stream_input) go through the bounded-memory streaming
+    scanner; small ones through the one-shot scanner.  Returns
+    (header, table, signatures, twins) where `table` carries the per-record
+    columns for downstream region queries (genotyping)."""
+    import os
+
+    if (getattr(options, "stream_input", False)
+            or os.path.getsize(bam_path) > STREAMING_THRESHOLD_BYTES):
+        from svim_tpu.io.bamstream import collect_streaming
+        return collect_streaming(bam_path, options)
     from svim_tpu.io.bamscan import scan_bam
     header, packed, sa_tags = scan_bam(bam_path, options.min_mapq)
     signatures, twins = signatures_from_packed(packed, sa_tags, header, options)

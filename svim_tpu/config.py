@@ -81,6 +81,7 @@ class Config:
     edit_backend: str = "auto"         # "auto" | "wavefront" | "python"
     num_shards: int = 1                # data-parallel read shards over the mesh
     batch_reads: int = 4096            # reads per packed device batch
+    stream_input: bool = False         # force the bounded-memory streaming scanner
     profile: bool = False              # emit jax.profiler traces per stage
 
     def replace(self, **kw) -> "Config":
@@ -171,6 +172,10 @@ def _add_common_options(parser: argparse.ArgumentParser) -> None:
                            help="Number of data-parallel read shards across the device mesh (default: %(default)s).")
     execution.add_argument("--batch_reads", type=int, default=d.batch_reads,
                            help="Reads per packed device batch (default: %(default)s).")
+    execution.add_argument("--stream_input", action="store_true",
+                           help="Stream the input BAM window-by-window with bounded "
+                                "memory (automatic for inputs over 256 MiB; "
+                                "default: %(default)s).")
     execution.add_argument("--profile", action="store_true",
                            help="Emit per-stage timing and jax profiler traces (default: %(default)s).")
 

@@ -1,0 +1,347 @@
+"""Streaming BAM scanner: bounded-memory COLLECT for whole-genome inputs.
+
+The one-shot scanner (io.bamscan) keeps the uncompressed BAM and one giant
+padded CIGAR batch in memory — fine for per-host shards, catastrophic for a
+30x whole genome.  This module streams instead: the compressed file is
+mmapped, BGZF blocks are decompressed window-by-window (native parallel
+inflate), records are carved incrementally across window boundaries, and
+packed batches are emitted with rows/K padded to buckets so the device
+kernels compile once.
+
+Per-record state kept for the whole file is only what genotyping needs
+(ref_id/start/end/mapq + read name); sequences stay window-local and are
+only touched for insertion events of the current batch.
+"""
+
+from __future__ import annotations
+
+import gzip
+import mmap
+import struct
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from svim_tpu.io.bamscan import LazySequences, LazyStrings, build_packed
+from svim_tpu.io.packing import bucket_size
+from svim_tpu.io.sam import AlignmentHeader
+
+FUNMAP = 0x4
+FSECONDARY = 0x100
+
+WINDOW_UNCOMPRESSED = 64 * 1024 * 1024  # target decompressed window size
+
+ROW_BUCKETS = (1024, 2048, 4096, 8192, 16384)
+
+
+def _row_bucket(n: int) -> int:
+    for bucket in ROW_BUCKETS:
+        if n <= bucket:
+            return bucket
+    return n
+
+
+def scan_bgzf_blocks(data) -> Iterator[Tuple[int, int, int]]:
+    """Yield (offset, compressed_size, uncompressed_size) per BGZF member."""
+    offset = 0
+    size = len(data)
+    while offset + 18 <= size:
+        if data[offset] != 0x1F or data[offset + 1] != 0x8B:
+            raise ValueError("not a BGZF stream at offset {0}".format(offset))
+        (xlen,) = struct.unpack_from("<H", data, offset + 10)
+        extra = offset + 12
+        extra_end = extra + xlen
+        bsize = None
+        while extra + 4 <= extra_end:
+            s1, s2, slen = data[extra], data[extra + 1], struct.unpack_from(
+                "<H", data, extra + 2)[0]
+            if s1 == 0x42 and s2 == 0x43 and slen == 2:
+                bsize = struct.unpack_from("<H", data, extra + 4)[0] + 1
+            extra += 4 + slen
+        if bsize is None:
+            raise ValueError("BGZF member without BC subfield")
+        (isize,) = struct.unpack_from("<I", data, offset + bsize - 4)
+        yield offset, bsize, isize
+        offset += bsize
+
+
+def _decompress_window(data, blocks) -> bytes:
+    start = blocks[0][0]
+    end = blocks[-1][0] + blocks[-1][1]
+    window = bytes(data[start:end])
+    try:
+        from svim_tpu import native
+        out = native.bgzf_decompress_parallel(window)
+        if out is not None:
+            return out
+    except Exception:
+        pass
+    return gzip.decompress(window)
+
+
+class StreamedBatch:
+    """One packed batch plus its SA tags (same contract the fused COLLECT
+    pass consumes)."""
+
+    __slots__ = ("packed", "sa_tags", "row_offset", "n_real")
+
+    def __init__(self, packed, sa_tags, row_offset, n_real):
+        self.packed = packed
+        self.sa_tags = sa_tags
+        self.row_offset = row_offset  # global row index of this batch's row 0
+        self.n_real = n_real          # rows beyond this are padding
+
+
+class GenotypeTable:
+    """Whole-file per-record columns for genotyping region queries."""
+
+    __slots__ = ("ref_id", "ref_start", "ref_end", "mapq", "names")
+
+    def __init__(self, ref_id, ref_start, ref_end, mapq, names):
+        self.ref_id = ref_id
+        self.ref_start = ref_start
+        self.ref_end = ref_end
+        self.mapq = mapq
+        self.names = names
+
+
+def stream_bam(path: str, min_mapq: int, batch_reads: int = 4096):
+    """Yield the header, then StreamedBatch objects.
+
+    Returns a generator whose first item is the AlignmentHeader and whose
+    subsequent items are StreamedBatch; use collect_streaming() for the
+    assembled pipeline."""
+    handle = open(path, "rb")
+    data = mmap.mmap(handle.fileno(), 0, access=mmap.ACCESS_READ)
+
+    block_iter = scan_bgzf_blocks(data)
+    pending_blocks = []
+    pending_out = 0
+
+    def next_window() -> Optional[bytes]:
+        nonlocal pending_blocks, pending_out
+        for block in block_iter:
+            pending_blocks.append(block)
+            pending_out += block[2]
+            if pending_out >= WINDOW_UNCOMPRESSED:
+                window = _decompress_window(data, pending_blocks)
+                pending_blocks = []
+                pending_out = 0
+                return window
+        if pending_blocks:
+            window = _decompress_window(data, pending_blocks)
+            pending_blocks = []
+            pending_out = 0
+            return window
+        return None
+
+    buffer = next_window()
+    if buffer is None:
+        raise ValueError("empty BAM stream")
+    # header may span windows
+    while True:
+        header_end = _try_header_end(buffer)
+        if header_end is not None:
+            break
+        more = next_window()
+        if more is None:
+            raise ValueError("truncated BAM header")
+        buffer = buffer + more
+    header, body_offset = _parse_header(buffer)
+    yield header
+
+    position = body_offset
+    row_offset = 0
+    rows: List[tuple] = []   # (ref_id, pos, mapq, flag, name, cigar_off, n_cigar, seq_off, l_seq, sa)
+    max_ops = 1
+
+    def flush():
+        nonlocal rows, max_ops, row_offset
+        if not rows:
+            return None
+        batch = _pack_rows(rows, max_ops, buffer, row_offset)
+        row_offset += len(rows)
+        rows = []
+        max_ops = 1
+        return batch
+
+    while True:
+        if position + 4 > len(buffer):
+            flushed = flush()
+            if flushed is not None:
+                yield flushed
+            carry = buffer[position:]
+            nxt = next_window()
+            if nxt is None:
+                if carry:
+                    raise ValueError("truncated BAM record")
+                return
+            buffer = carry + nxt
+            position = 0
+            continue
+        (block_size,) = struct.unpack_from("<i", buffer, position)
+        if position + 4 + block_size > len(buffer):
+            flushed = flush()
+            if flushed is not None:
+                yield flushed
+            carry = buffer[position:]
+            nxt = next_window()
+            if nxt is None:
+                raise ValueError("truncated BAM record")
+            buffer = carry + nxt
+            position = 0
+            continue
+        record_offset = position + 4
+        (ref_id, pos, l_read_name, mapq, _bin, n_cigar_op, flag, l_seq,
+         _nr, _np, _tl) = struct.unpack_from("<iiBBHHHiiii", buffer, record_offset)
+        if (flag & (FUNMAP | FSECONDARY)) == 0 and mapq >= min_mapq:
+            p = record_offset + 32
+            name = buffer[p:p + l_read_name - 1].decode()
+            p += l_read_name
+            cigar_offset = p
+            p += 4 * n_cigar_op
+            seq_offset = p
+            p += (l_seq + 1) // 2 + l_seq
+            sa = _find_sa_py(buffer, p, record_offset + block_size)
+            rows.append((ref_id, pos, mapq, flag, name, cigar_offset,
+                         n_cigar_op, seq_offset, l_seq, sa))
+            if n_cigar_op > max_ops:
+                max_ops = n_cigar_op
+            if len(rows) >= batch_reads:
+                yield flush()
+        position += 4 + block_size
+
+
+_TAG_SIZES = {ord("c"): 1, ord("C"): 1, ord("s"): 2, ord("S"): 2,
+              ord("i"): 4, ord("I"): 4, ord("f"): 4, ord("A"): 1}
+
+
+def _find_sa_py(buffer, p, end) -> Optional[str]:
+    if buffer.find(b"SAZ", p, end) < 0:
+        return None
+    while p + 3 <= end:
+        value_type = buffer[p + 2]
+        if buffer[p] == 0x53 and buffer[p + 1] == 0x41 and value_type == 0x5A:
+            nul = buffer.index(b"\x00", p + 3, end)
+            return buffer[p + 3:nul].decode()
+        p += 3
+        if value_type in _TAG_SIZES:
+            p += _TAG_SIZES[value_type]
+        elif value_type in (0x5A, 0x48):
+            p = buffer.index(b"\x00", p, end) + 1
+        elif value_type == 0x42:
+            sub = buffer[p]
+            (count,) = struct.unpack_from("<i", buffer, p + 1)
+            p += 5 + count * _TAG_SIZES[sub]
+        else:
+            return None
+    return None
+
+
+def _try_header_end(buffer) -> Optional[int]:
+    if len(buffer) < 12 or buffer[:4] != b"BAM\x01":
+        if buffer[:4] != b"BAM\x01":
+            raise ValueError("not a BAM stream")
+        return None
+    (l_text,) = struct.unpack_from("<i", buffer, 4)
+    offset = 8 + l_text
+    if offset + 4 > len(buffer):
+        return None
+    (n_ref,) = struct.unpack_from("<i", buffer, offset)
+    offset += 4
+    for _ in range(n_ref):
+        if offset + 4 > len(buffer):
+            return None
+        (l_name,) = struct.unpack_from("<i", buffer, offset)
+        offset += 4 + l_name + 4
+    if offset > len(buffer):
+        return None
+    return offset
+
+
+def _parse_header(buffer):
+    (l_text,) = struct.unpack_from("<i", buffer, 4)
+    text = buffer[8:8 + l_text].split(b"\x00", 1)[0].decode()
+    offset = 8 + l_text
+    (n_ref,) = struct.unpack_from("<i", buffer, offset)
+    offset += 4
+    references, lengths = [], []
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack_from("<i", buffer, offset)
+        offset += 4
+        references.append(buffer[offset:offset + l_name - 1].decode())
+        offset += l_name
+        lengths.append(struct.unpack_from("<i", buffer, offset)[0])
+        offset += 4
+    header = AlignmentHeader.from_text(text)
+    if not header.references:
+        header = AlignmentHeader(header.hd, references, lengths, text)
+    return header, offset
+
+
+def _pack_rows(rows, max_ops, buffer, row_offset) -> StreamedBatch:
+    n_real = len(rows)
+    n_pad = _row_bucket(n_real)
+    k = bucket_size(max_ops)
+    cigar_words = np.zeros((n_pad, k), dtype=np.int32)
+    ref_id = np.full(n_pad, -1, dtype=np.int32)
+    ref_start = np.zeros(n_pad, dtype=np.int32)
+    mapq = np.zeros(n_pad, dtype=np.int32)
+    flag = np.zeros(n_pad, dtype=np.int32)
+    names: List[Optional[str]] = [None] * n_pad
+    seq_off = np.zeros(n_pad, dtype=np.int64)
+    seq_len = np.zeros(n_pad, dtype=np.int64)
+    sa_tags: List[Optional[str]] = [None] * n_pad
+    for row, (r_id, pos, r_mapq, r_flag, name, cigar_offset, n_cigar,
+              s_off, l_seq, sa) in enumerate(rows):
+        ref_id[row] = r_id
+        ref_start[row] = pos
+        mapq[row] = r_mapq
+        flag[row] = r_flag
+        names[row] = name
+        if n_cigar:
+            cigar_words[row, :n_cigar] = np.frombuffer(
+                buffer, dtype="<i4", count=n_cigar, offset=cigar_offset)
+        seq_off[row] = s_off
+        seq_len[row] = l_seq
+        sa_tags[row] = sa
+    packed = build_packed(ref_id, ref_start, mapq, flag, cigar_words, names,
+                          LazySequences(buffer, seq_off, seq_len))
+    return StreamedBatch(packed, sa_tags, row_offset, n_real)
+
+
+def collect_streaming(path: str, options):
+    """Streaming COLLECT: bounded-memory scan -> per-batch device kernels.
+
+    Returns (header, GenotypeTable, signatures, twins)."""
+    from svim_tpu.collect.packed import signatures_from_packed
+
+    stream = stream_bam(path, options.min_mapq, options.batch_reads)
+    header = next(stream)
+    signatures = []
+    twins = []
+    ref_id_parts = []
+    ref_start_parts = []
+    ref_end_parts = []
+    mapq_parts = []
+    names_all: List[str] = []
+    for batch in stream:
+        batch_sigs, batch_twins = signatures_from_packed(
+            batch.packed, batch.sa_tags, header, options)
+        signatures.extend(batch_sigs)
+        twins.extend(batch_twins)
+        n = batch.n_real
+        ref_id_parts.append(np.asarray(batch.packed.ref_id[:n]))
+        ref_start_parts.append(np.asarray(batch.packed.ref_start[:n]))
+        ref_end_parts.append(np.asarray(batch.packed.ref_end[:n]))
+        mapq_parts.append(np.asarray(batch.packed.mapq[:n]))
+        names_all.extend(batch.packed.names[row] for row in range(n))
+    if ref_id_parts:
+        table = GenotypeTable(np.concatenate(ref_id_parts),
+                              np.concatenate(ref_start_parts),
+                              np.concatenate(ref_end_parts),
+                              np.concatenate(mapq_parts), names_all)
+    else:
+        table = GenotypeTable(np.zeros(0, np.int32), np.zeros(0, np.int64),
+                              np.zeros(0, np.int64), np.zeros(0, np.int32), [])
+    return header, table, signatures, twins
