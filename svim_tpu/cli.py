@@ -196,15 +196,24 @@ def run_pipeline(options):
 
     if not options.skip_genotyping:
         logging.info("****************** STEP 4: GENOTYPE ******************")
+        from svim_tpu.genotype import genotype_packed
+        from svim_tpu.io.packed_fetch import PackedAlignmentIndex
+
+        def run_genotyping(candidates, type_name, label):
+            logging.info("Genotyping {0}..".format(label))
+            if isinstance(aln_file, PackedAlignmentIndex):
+                # vectorized interval join over the packed table
+                genotype_packed(candidates, aln_file.packed, aln_file.header,
+                                type_name, options)
+            else:
+                genotype(candidates, aln_file, type_name, options)
+
         with timer.stage("genotype"):
-            logging.info("Genotyping deletions..")
-            genotype(deletion_candidates, aln_file, "DEL", options)
-            logging.info("Genotyping inversions..")
-            genotype(inversion_candidates, aln_file, "INV", options)
-            logging.info("Genotyping novel insertions..")
-            genotype(novel_insertion_candidates, aln_file, "INS", options)
-            logging.info("Genotyping interspersed duplications..")
-            genotype(int_duplication_candidates, aln_file, "DUP_INT", options)
+            run_genotyping(deletion_candidates, "DEL", "deletions")
+            run_genotyping(inversion_candidates, "INV", "inversions")
+            run_genotyping(novel_insertion_candidates, "INS", "novel insertions")
+            run_genotyping(int_duplication_candidates, "DUP_INT",
+                           "interspersed duplications")
 
     logging.info("Write SV candidates..")
     logging.info("Final deletion candidates: {0}".format(len(deletion_candidates)))

@@ -45,6 +45,111 @@ def span_position_distance(candidate, signature, position_distance_normalizer):
     return position_distance + span_distance
 
 
+def _assign_genotype(candidate, alt_support, ref_support, options):
+    """VAF thresholds -> genotype fields (reference: SVIM_genotyping.py:77-94)."""
+    total = alt_support + ref_support
+    if total >= options.minimum_depth:
+        candidate.support_fraction = alt_support / total
+        if candidate.support_fraction >= options.homozygous_threshold:
+            candidate.genotype = "1/1"
+        elif candidate.support_fraction >= options.heterozygous_threshold:
+            candidate.genotype = "0/1"
+        else:
+            candidate.genotype = "0/0"
+    elif total > 0:
+        candidate.support_fraction = alt_support / total
+        candidate.genotype = "./."
+    else:
+        candidate.support_fraction = "."
+        candidate.genotype = "./."
+    candidate.ref_reads = ref_support
+    candidate.alt_reads = alt_support
+
+
+def genotype_packed(candidates, table, header, type, options):
+    """Vectorized genotyping over a packed per-record table (numpy interval
+    join; exact reference semantics including the 500-alignment cap counted
+    in coordinate order).
+
+    `table` needs ref_id/ref_start/ref_end/mapq columns and a names list —
+    a PackedAlignments batch or an io.bamstream.GenotypeTable."""
+    import numpy as np
+
+    ref_id = np.asarray(table.ref_id)
+    starts_all = np.asarray(table.ref_start, dtype=np.int64)
+    ends_all = np.asarray(table.ref_end, dtype=np.int64)
+
+    # integer read identities (same id <=> same name)
+    name_ids = np.empty(len(ref_id), dtype=np.int64)
+    id_of_name = {}
+    names = table.names
+    for row in range(len(ref_id)):
+        name_ids[row] = id_of_name.setdefault(names[row], len(id_of_name))
+
+    # per-tid coordinate order (matches a coordinate-sorted fetch)
+    per_tid = {}
+    for tid in np.unique(ref_id):
+        if tid < 0:
+            continue
+        rows = np.nonzero(ref_id == tid)[0]
+        order = np.lexsort((rows, starts_all[rows]))
+        rows = rows[order]
+        spans = ends_all[rows] - starts_all[rows]
+        max_span = int(spans.max()) if len(spans) else 0
+        per_tid[int(tid)] = (starts_all[rows], ends_all[rows], name_ids[rows],
+                             max_span)
+
+    num_candidates = len(candidates)
+    for nr, candidate in enumerate(candidates):
+        if (nr + 1) % 10000 == 0:
+            logging.info("Processed {0} of {1} candidates".format(nr + 1, num_candidates))
+        if candidate.score < options.minimum_score:
+            continue
+        if type in ("INS", "DUP_INT"):
+            contig, start, end = candidate.get_destination()
+            end = start
+        else:
+            contig, start, end = candidate.get_source()
+        tid = header.get_tid(contig)
+        entry = per_tid.get(tid)
+        support_names = set(sig.read for sig in candidate.members)
+        alt_support = len(support_names)
+        if entry is None:
+            _assign_genotype(candidate, alt_support, 0, options)
+            continue
+        starts, ends, ids, max_span = entry
+        contig_length = header.lengths[tid]
+        window_start = max(0, start - WINDOW)
+        window_stop = min(contig_length, end + WINDOW)
+        hi = np.searchsorted(starts, window_stop, side="left")
+        # a row can only overlap the window if it starts within max_span of it
+        lo = np.searchsorted(starts, window_start - max_span, side="left")
+        w_starts = starts[lo:hi]
+        w_ends = ends[lo:hi]
+        w_ids = ids[lo:hi]
+        in_window = w_ends > window_start
+        support_ids = np.asarray(
+            [id_of_name[name] for name in support_names if name in id_of_name],
+            dtype=np.int64)
+        not_support = ~np.isin(w_ids, support_ids)
+        qualifying = in_window & not_support
+        # the 500-cap counts qualifying alignments in coordinate order
+        qualifying_positions = np.nonzero(qualifying)[0]
+        if len(qualifying_positions) > ALIGNMENT_CAP:
+            qualifying_positions = qualifying_positions[:ALIGNMENT_CAP]
+        c_starts = w_starts[qualifying_positions]
+        c_ends = w_ends[qualifying_positions]
+        c_ids = w_ids[qualifying_positions]
+        if type in ("DEL", "INV"):
+            minimum_overlap = min((end - start) / 2, 2000)
+            supports = (((c_starts < (end - minimum_overlap)) & (c_ends > (end + 100)))
+                        | ((c_starts < (start - 100)) & (c_ends > (start + minimum_overlap))))
+        else:
+            supports = (c_starts < (start - 100)) & (c_ends > (end + 100))
+        ref_support = len(np.unique(c_ids[supports]))
+        _assign_genotype(candidate, alt_support, ref_support, options)
+
+
 def genotype(candidates, bam, type, options):
     """Genotype candidates in place (reference: SVIM_genotyping.py:34-94)."""
     num_candidates = len(candidates)

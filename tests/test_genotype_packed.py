@@ -1,0 +1,69 @@
+"""Differential test: vectorized genotyping must match the per-candidate
+fetch loop exactly, including the 500-alignment cap."""
+
+import random
+
+from svim_tpu.candidates import CandidateDeletion, CandidateNovelInsertion
+from svim_tpu.genotype import genotype, genotype_packed
+from svim_tpu.io.bamscan import scan_bam
+from svim_tpu.io import bam as bamio
+from svim_tpu.io.sam import AlignmentFile
+from svim_tpu.signatures import SignatureDeletion, SignatureInsertion
+
+HEADER = "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:1000000\n"
+
+
+def _make_inputs(tmp_path, n_background=700):
+    """Dense background coverage (to exercise the 500 cap) plus candidates."""
+    rng = random.Random(51)
+    lines = []
+    for i in range(n_background):
+        start = rng.randint(95000, 105000)
+        length = rng.randint(1500, 6000)
+        lines.append("bg{0}\t0\tchr1\t{1}\t{2}\t{3}M\t*\t0\t0\t*\t*".format(
+            i, start + 1, rng.choice([10, 25, 60]), length))
+    lines.sort(key=lambda line: int(line.split("\t")[3]))
+    sam_path = tmp_path / "gt.sam"
+    sam_path.write_text(HEADER + "\n".join(lines) + "\n")
+    af = AlignmentFile(str(sam_path))
+    bam_path = tmp_path / "gt.bam"
+    bamio.write_bam(str(bam_path), af.header, list(af.fetch(until_eof=True)))
+
+    candidates = []
+    for i, (start, length) in enumerate(((100000, 400), (98000, 1200),
+                                         (103000, 80), (101500, 50))):
+        members = [SignatureDeletion("chr1", start, start + length, "cigar",
+                                     "alt{0}_{1}".format(i, j))
+                   for j in range(3 + i)]
+        candidates.append(CandidateDeletion("chr1", start, start + length,
+                                            members, 10, None, None))
+    ins_members = [SignatureInsertion("chr1", 100500, 100700, "cigar",
+                                      "ins{0}".format(j), "A" * 200)
+                   for j in range(4)]
+    ins_candidate = CandidateNovelInsertion("chr1", 100500, 100700, "A" * 200,
+                                            ins_members, 9, None, None)
+    return str(bam_path), candidates, ins_candidate
+
+
+def test_genotype_packed_matches_loop(tmp_path, default_options):
+    bam_path, del_candidates, ins_candidate = _make_inputs(tmp_path)
+
+    import copy
+    loop_dels = copy.deepcopy(del_candidates)
+    loop_ins = copy.deepcopy(ins_candidate)
+    bam = AlignmentFile(bam_path)
+    genotype(loop_dels, bam, "DEL", default_options)
+    genotype([loop_ins], bam, "INS", default_options)
+
+    header, packed, sa_tags = scan_bam(bam_path, default_options.min_mapq)
+    from svim_tpu.collect.packed import _run_collect_scan
+    _run_collect_scan(packed, default_options)  # fills ref_end geometry
+    genotype_packed(del_candidates, packed, header, "DEL", default_options)
+    genotype_packed([ins_candidate], packed, header, "INS", default_options)
+
+    for loop_candidate, fast_candidate in zip(loop_dels + [loop_ins],
+                                              del_candidates + [ins_candidate]):
+        assert fast_candidate.genotype == loop_candidate.genotype
+        assert fast_candidate.ref_reads == loop_candidate.ref_reads
+        assert fast_candidate.alt_reads == loop_candidate.alt_reads
+        assert fast_candidate.support_fraction == loop_candidate.support_fraction
