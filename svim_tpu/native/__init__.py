@@ -26,9 +26,12 @@ _lib = None
 _build_failed = False
 
 
+_POA_SOURCE = os.path.join(os.path.dirname(__file__), "poa.cpp")
+
+
 def _build() -> bool:
     command = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-               "-o", _LIBRARY, _SOURCE, "-lz", "-lpthread"]
+               "-o", _LIBRARY, _SOURCE, _POA_SOURCE, "-lz", "-lpthread"]
     try:
         subprocess.run(command, check=True, capture_output=True)
         return True
@@ -47,7 +50,8 @@ def get_library():
         if _lib is not None or _build_failed:
             return _lib
         if not os.path.exists(_LIBRARY) or (
-                os.path.getmtime(_LIBRARY) < os.path.getmtime(_SOURCE)):
+                os.path.getmtime(_LIBRARY) < max(os.path.getmtime(_SOURCE),
+                                                 os.path.getmtime(_POA_SOURCE))):
             if not _build():
                 _build_failed = True
                 return None
@@ -70,6 +74,11 @@ def get_library():
         lib.bgzf_decompress.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int]
+        lib.poa_consensus_native.restype = ctypes.c_int
+        lib.poa_consensus_native.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+            ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64)]
         lib.bam_count.restype = ctypes.c_int
         lib.bam_count.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
@@ -135,6 +144,28 @@ class aligner:
         a_bytes = a.encode()
         b_bytes = b.encode()
         return int(lib.myers_distance(a_bytes, len(a_bytes), b_bytes, len(b_bytes)))
+
+
+POA_MAX_CELLS = 120_000_000  # per-alignment DP budget (graph nodes x seq len)
+
+
+def poa_consensus_native(sequences, max_cells: int = POA_MAX_CELLS):
+    """True partial-order-alignment consensus (SPOA's role).  Returns the
+    consensus string, or None when the native library is unavailable or the
+    DP would exceed the cell budget (caller falls back to the star MSA)."""
+    lib = get_library()
+    if lib is None or not sequences:
+        return None
+    blob = "".join(sequences).encode()
+    lens = (ctypes.c_int64 * len(sequences))(*[len(s) for s in sequences])
+    out_cap = 2 * max(len(s) for s in sequences) + 64
+    out = ctypes.create_string_buffer(out_cap)
+    out_len = ctypes.c_int64(0)
+    status = lib.poa_consensus_native(blob, lens, len(sequences), max_cells,
+                                      out, out_cap, ctypes.byref(out_len))
+    if status != 0:
+        return None
+    return out.raw[:out_len.value].decode()
 
 
 def bgzf_decompress_parallel(data: bytes, n_threads: int = 0):
