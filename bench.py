@@ -97,20 +97,23 @@ def main():
 
     bam_host = AlignmentFile(bam_path)
     host_records = list(bam_host.fetch(until_eof=True))[:BASELINE_SAMPLE]
-    t0 = time.perf_counter()
-    host_signatures = []
-    for record in host_records:
-        supplementary = [aln for aln in retrieve_other_alignments(record, bam_host)
-                         if aln.mapping_quality >= options.min_mapq]
-        sigs, _ = analyze_alignment_indel(record, bam_host, record.query_name, options)
-        host_signatures.extend(sigs)
-        sigs, _ = analyze_read_segments(record, supplementary, bam_host, options)
-        host_signatures.extend(sigs)
-    host_collect_time = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    run_cluster(host_signatures, options)
-    host_cluster_time = time.perf_counter() - t0
-    baseline_reads_per_s = BASELINE_SAMPLE / (host_collect_time + host_cluster_time)
+    baseline_best = float("inf")
+    for _ in range(2):  # best-of-2: keep the baseline fair under load noise
+        t0 = time.perf_counter()
+        host_signatures = []
+        for record in host_records:
+            supplementary = [aln for aln in retrieve_other_alignments(record, bam_host)
+                             if aln.mapping_quality >= options.min_mapq]
+            sigs, _ = analyze_alignment_indel(record, bam_host, record.query_name, options)
+            host_signatures.extend(sigs)
+            sigs, _ = analyze_read_segments(record, supplementary, bam_host, options)
+            host_signatures.extend(sigs)
+        host_collect_time = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run_cluster(host_signatures, options)
+        host_cluster_time = time.perf_counter() - t0
+        baseline_best = min(baseline_best, host_collect_time + host_cluster_time)
+    baseline_reads_per_s = BASELINE_SAMPLE / baseline_best
 
     # ---- array path: packed scan + device kernels ------------------------------
     import jax

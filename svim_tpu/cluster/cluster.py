@@ -267,13 +267,11 @@ def partition_and_cluster_candidates(candidates, options, type):
             large_partitions += 1
         else:
             partition_sample = partition
-        distances = []
-        for i in range(len(partition_sample) - 1):
-            for j in range(i + 1, len(partition_sample)):
-                distances.append(span_position_distance_intdup_candidates(
-                    partition_sample[i], partition_sample[j],
-                    options.position_distance_normalizer))
-        dendrogram = linkage(np.array(distances), method="average")
+        # candidate-level DUP_INT distance == the signature-level formula
+        # (SVIM_clustering.py:110-119), so the vectorized matrix applies
+        matrix = accel.distance_matrix(partition_sample, "DUP_INT", None, options)
+        distances = matrix[np.triu_indices(len(partition_sample), k=1)]
+        dendrogram = linkage(distances, method="average")
         labels = list(fcluster(dendrogram, options.cluster_max_distance, criterion="distance"))
         clusters.extend(_group_by_labels(partition_sample, labels))
     if partitions and partitions[0]:
