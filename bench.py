@@ -20,7 +20,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_READS = int(os.environ.get("SVIM_BENCH_READS", "2048"))
-BASELINE_SAMPLE = int(os.environ.get("SVIM_BENCH_BASELINE_READS", "192"))
+# 0 = run the baseline over the full workload (fair: clustering cost is
+# nonlinear in signature density, so subsampled baselines extrapolate wrong)
+BASELINE_SAMPLE = int(os.environ.get("SVIM_BENCH_BASELINE_READS", "0"))
 READ_LENGTH_OPS = 3000          # CIGAR ops per read (ONT-like noise)
 REPEATS = int(os.environ.get("SVIM_BENCH_REPEATS", "3"))
 
@@ -96,9 +98,14 @@ def main():
     from svim_tpu.io.sam import AlignmentFile
 
     bam_host = AlignmentFile(bam_path)
-    host_records = list(bam_host.fetch(until_eof=True))[:BASELINE_SAMPLE]
+    host_records = list(bam_host.fetch(until_eof=True))
+    if BASELINE_SAMPLE:
+        host_records = host_records[:BASELINE_SAMPLE]
+    baseline_reads = len(host_records)
     baseline_best = float("inf")
-    for _ in range(2):  # best-of-2: keep the baseline fair under load noise
+    # first pass warms one-time costs (scipy, .fai build) for BOTH paths;
+    # best-of-2 keeps the baseline fair under load noise
+    for _ in range(2):
         t0 = time.perf_counter()
         host_signatures = []
         for record in host_records:
@@ -113,7 +120,7 @@ def main():
         run_cluster(host_signatures, options)
         host_cluster_time = time.perf_counter() - t0
         baseline_best = min(baseline_best, host_collect_time + host_cluster_time)
-    baseline_reads_per_s = BASELINE_SAMPLE / baseline_best
+    baseline_reads_per_s = baseline_reads / baseline_best
 
     # ---- array path: packed scan + device kernels ------------------------------
     import jax

@@ -79,6 +79,29 @@ def clusters_from_partitions(partitions, reference, options):
         element_type = partition_sample[0].type
         assert element_type in ("DEL", "DUP_TAN", "INV", "INS", "DUP_INT", "BND")
 
+        if len(partition_sample) == 2:
+            # pair fast path: one scalar distance decides dedup and the cut
+            first, second = partition_sample
+            distance = span_position_distance(
+                first, second, element_type, reference,
+                options.position_distance_normalizer,
+                options.edit_distance_normalizer, options.cluster_max_distance)
+            if element_type != "INV" and first.read == second.read:
+                if distance <= options.cluster_max_distance:
+                    duplicate_signatures += 1
+                    clusters_final.append([first])
+                else:
+                    # same-read wall keeps them apart
+                    clusters_final.append([first])
+                    clusters_final.append([second])
+                continue
+            if distance <= options.cluster_max_distance:
+                clusters_final.append([first, second])
+            else:
+                clusters_final.append([first])
+                clusters_final.append([second])
+            continue
+
         # one vectorized distance matrix serves dedup and linkage (pair
         # distances are independent of other elements, so the surviving
         # submatrix equals the reference's recomputation)

@@ -146,6 +146,15 @@ def _run_collect_scan(packed, options):
             is_ins[:count])
 
 
+def _slice_sequence(sequences, row, start, end):
+    """Window of a row's sequence; lazy containers decode only the window."""
+    slicer = getattr(sequences, "slice", None)
+    if slicer is not None:
+        return slicer(row, start, end)
+    sequence = sequences[row]
+    return sequence[start:end] if sequence is not None else ""
+
+
 def signatures_from_packed(packed, sa_tags, name_table, options):
     """Shared core: device kernels over one packed batch.
 
@@ -168,8 +177,7 @@ def signatures_from_packed(packed, sa_tags, name_table, options):
         name = packed.names[row]
         sigs = per_row_sigs.setdefault(row, [])
         if ins:
-            sequence = packed.sequences[row]
-            sequence = sequence[p_read:p_read + length] if sequence is not None else ""
+            sequence = _slice_sequence(packed.sequences, row, p_read, p_read + length)
             sigs.append(SignatureInsertion(contig, start, start + length,
                                            "cigar", name, sequence))
         else:
@@ -269,7 +277,6 @@ def _classify_groups(group_rows, group_segments, packed, getrname, options,
             continue
         emit = _Emitter(packed.names[row], options)
         n_pairs = len(group_segments[g]) - 1
-        primary_sequence = packed.sequences[row]
         for pair in range(n_pairs):
             event = int(code[g, pair])
             if twin_mask[g, pair] and options.all_bnds:
@@ -287,10 +294,8 @@ def _classify_groups(group_rows, group_segments, packed, getrname, options,
                 position = int(qpos[g, pair])
                 if is_reverse[g, pair]:
                     position = int(packed.read_len[row]) - position
-                try:
-                    sequence = primary_sequence[position:position + deviation]
-                except TypeError:
-                    sequence = ""
+                sequence = _slice_sequence(packed.sequences, row, position,
+                                           position + deviation)
                 emit.signatures.append(SignatureInsertion(
                     contig, anchor, anchor + deviation, "suppl",
                     emit.read_name, sequence))

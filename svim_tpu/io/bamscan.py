@@ -47,13 +47,26 @@ class LazySequences:
         length = int(self._lengths[row])
         if length == 0:
             return None
+        return self.slice(row, 0, length)
+
+    def slice(self, row: int, start: int, end: int) -> str:
+        """Decode only bases [start, end) of a row — insertion events touch a
+        tiny window of a long read, so whole-read decoding is wasted work."""
+        length = int(self._lengths[row])
+        start = max(0, min(start, length))
+        end = max(start, min(end, length))
+        if start >= end:
+            return ""
         offset = int(self._offsets[row])
+        first_byte = start // 2
+        last_byte = (end + 1) // 2
         packed = np.frombuffer(self._data, dtype=np.uint8,
-                               count=(length + 1) // 2, offset=offset)
+                               count=last_byte - first_byte,
+                               offset=offset + first_byte)
         out = np.empty(2 * len(packed), dtype=np.uint8)
         out[0::2] = _NIBBLE_HI[packed]
         out[1::2] = _NIBBLE_LO[packed]
-        return out[:length].tobytes().decode()
+        return out[start - 2 * first_byte:end - 2 * first_byte].tobytes().decode()
 
 
 def _find_sa_tag(data: bytes, tag_start: int, tag_end: int) -> Optional[str]:
