@@ -27,9 +27,54 @@ READ_LENGTH_OPS = 3000          # CIGAR ops per read (ONT-like noise)
 REPEATS = int(os.environ.get("SVIM_BENCH_REPEATS", "3"))
 
 
+COVERAGE = 24          # reads supporting each simulated SV locus
+N_DEL_LOCI = 24
+N_INS_LOCI = 24
+GENOME_SPAN = 12_000_000
+
+
+def _noisy_cigar(rng, sv=None):
+    """ONT-like CIGAR: many 1-8 bp indels; optionally one embedded SV op.
+    Returns (cigar, seq_len, ref_len, sv_seq_pos)."""
+    parts = []
+    seq_len = 0
+    ref_len = 0
+    sv_seq_pos = -1
+    half = READ_LENGTH_OPS // 2
+    sv_at = rng.randint(half // 4, 3 * half // 4) if sv else -1
+    for k in range(half):
+        m = rng.randint(3, 15)
+        parts.append("{0}M".format(m))
+        seq_len += m
+        ref_len += m
+        if k == sv_at:
+            op, length = sv
+            parts.append("{0}{1}".format(length, op))
+            if op == "I":
+                sv_seq_pos = seq_len
+                seq_len += length
+            else:
+                ref_len += length
+            continue
+        op = rng.choice("ID")
+        length = rng.randint(1, 8)
+        parts.append("{0}{1}".format(length, op))
+        if op == "I":
+            seq_len += length
+        else:
+            ref_len += length
+    parts.append("20M")
+    seq_len += 20
+    ref_len += 20
+    return "".join(parts), seq_len, ref_len, sv_seq_pos
+
+
 def make_workload(tmp_dir):
-    """Synthetic BAM: every read carries small indel noise, ~25% of reads a
-    large DEL or INS, ~8% split with SA segments."""
+    """Synthetic BAM with realistic coverage pileups: DEL and INS loci each
+    supported by ~COVERAGE reads (shared breakpoints, per-read noisy copies of
+    the inserted sequence), background reads with indel noise, ~8% split
+    reads.  This shape exercises clustering the way deep long-read data does
+    (multi-member partitions, INS haplotype edit distances, consensus)."""
     from svim_tpu.io.sam import AlignmentHeader, parse_sam_line
     from svim_tpu.io import bam as bamio
 
@@ -38,44 +83,91 @@ def make_workload(tmp_dir):
                    "@SQ\tSN:chr1\tLN:200000000\n@SQ\tSN:chr2\tLN:150000000\n")
     header = AlignmentHeader.from_text(header_text)
     records = []
-    for i in range(N_READS):
-        start = rng.randint(0, 100000000)
-        parts = []
-        seq_len = 0
-        for _ in range(READ_LENGTH_OPS // 2):
-            m = rng.randint(3, 15)
-            parts.append("{0}M".format(m))
-            seq_len += m
-            op = rng.choice("ID")
-            length = rng.randint(1, 8)
-            if rng.random() < 0.002:
-                length = rng.randint(40, 500)   # a real SV-sized indel
-            parts.append("{0}{1}".format(length, op))
-            if op == "I":
-                seq_len += length
-        cigar = "".join(parts) + "20M"
-        seq_len += 20
-        seq = "A" * seq_len
+    read_number = 0
+
+    def add_read(start, cigar, seq, tags=""):
+        nonlocal read_number
+        line = "read{0}\t0\tchr1\t{1}\t60\t{2}\t*\t0\t0\t{3}\t*{4}".format(
+            read_number, start + 1, cigar, seq, tags)
+        records.append(parse_sam_line(line, header))
+        read_number += 1
+
+    # deletion loci: COVERAGE reads sharing one D run (jittered size)
+    for locus in range(N_DEL_LOCI):
+        locus_pos = rng.randint(0, GENOME_SPAN)
+        size = rng.randint(60, 800)
+        for _ in range(COVERAGE):
+            cigar, seq_len, _, _ = _noisy_cigar(rng, sv=("D", size + rng.randint(-3, 3)))
+            add_read(locus_pos + rng.randint(-300, 300), cigar, "A" * seq_len)
+
+    # insertion loci: COVERAGE reads inserting noisy copies of a shared motif
+    for locus in range(N_INS_LOCI):
+        locus_pos = rng.randint(0, GENOME_SPAN)
+        size = rng.randint(60, 500)
+        motif = "".join(rng.choice("ACGT") for _ in range(size))
+        for _ in range(COVERAGE):
+            noisy = list(motif)
+            for _ in range(rng.randint(0, 4)):  # per-read sequencing noise
+                noisy[rng.randrange(len(noisy))] = rng.choice("ACGT")
+            insert = "".join(noisy)
+            cigar, seq_len, _, sv_pos = _noisy_cigar(rng, sv=("I", len(insert)))
+            seq = "A" * sv_pos + insert + "A" * (seq_len - sv_pos - len(insert))
+            add_read(locus_pos + rng.randint(-300, 300), cigar, seq)
+
+    # background reads (noise only) + occasional split reads
+    n_background = max(0, N_READS - read_number)
+    for i in range(n_background):
+        cigar, seq_len, _, _ = _noisy_cigar(rng)
         tags = ""
-        if i % 12 == 0:  # split read
+        if i % 12 == 0:
             tags = "\tSA:Z:chr2,{0},+,{1}S{2}M,60,0;".format(
                 rng.randint(1, 100000000), seq_len - 500, 500)
-        line = "read{0}\t0\tchr1\t{1}\t60\t{2}\t*\t0\t0\t{3}\t*{4}".format(
-            i, start + 1, cigar, seq, tags)
-        records.append(parse_sam_line(line, header))
+        add_read(rng.randint(0, GENOME_SPAN), cigar, "A" * seq_len, tags)
+
     records.sort(key=lambda record: record.reference_start)
     bam_path = os.path.join(tmp_dir, "bench.bam")
     bamio.write_bam(bam_path, header, records)
 
     genome_path = os.path.join(tmp_dir, "genome.fa")
-    with open(genome_path, "w") as handle:
-        handle.write(">chr1\n" + "ACGT" * 2500 + "\n>chr2\n" + "ACGT" * 2500 + "\n")
+    import numpy as np
+    genome_rng = np.random.default_rng(5)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    with open(genome_path, "wb") as handle:
+        # chr1 covers every locus so INS clustering fetches real windows
+        handle.write(b">chr1\n")
+        chunk = GENOME_SPAN // 60 + 1
+        genome = bases[genome_rng.integers(0, 4, size=chunk * 60)]
+        for row in genome.reshape(chunk, 60):
+            handle.write(row.tobytes() + b"\n")
+        handle.write(b">chr2\n" + b"ACGT" * 2500 + b"\n")
     return bam_path, genome_path, header, records
 
 
 def run_cluster(signatures, options):
     from svim_tpu.cluster import cluster_sv_signatures
     return cluster_sv_signatures(signatures, options)
+
+
+def run_cluster_reference(signatures, options):
+    """Reference-equivalent clustering (scalar per-pair loops, the cost model
+    of single-core SVIM)."""
+    from svim_tpu.cluster.reference_path import cluster_sv_signatures_reference
+    return cluster_sv_signatures_reference(signatures, options)
+
+
+def _probe_tpu(timeout_s: int = 420) -> bool:
+    """Run a trivial computation on the default jax platform in a SUBPROCESS:
+    the axon TPU worker can crash/hang (first attach also takes minutes), and
+    a hung in-process attach would take the whole benchmark down."""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp;"
+            "print(int(jnp.arange(4).sum()))")
+    try:
+        result = subprocess.run([sys.executable, "-c", code],
+                                capture_output=True, timeout=timeout_s)
+        return result.returncode == 0 and b"6" in result.stdout
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def main():
@@ -86,6 +178,11 @@ def main():
     from svim_tpu.config import parse_arguments
     from svim_tpu.utils.device import setup_jax_cache
 
+    if os.environ.get("SVIM_BENCH_SKIP_PROBE") != "1" and not _probe_tpu():
+        # device unreachable: fall back to CPU so the bench always reports
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        print("# TPU probe failed; benchmarking on CPU backend", file=sys.stderr)
     setup_jax_cache()
     tmp_dir = tempfile.mkdtemp(prefix="svim_bench_")
     bam_path, genome_path, header, records = make_workload(tmp_dir)
@@ -117,7 +214,7 @@ def main():
             host_signatures.extend(sigs)
         host_collect_time = time.perf_counter() - t0
         t0 = time.perf_counter()
-        run_cluster(host_signatures, options)
+        run_cluster_reference(host_signatures, options)
         host_cluster_time = time.perf_counter() - t0
         baseline_best = min(baseline_best, host_collect_time + host_cluster_time)
     baseline_reads_per_s = baseline_reads / baseline_best

@@ -50,7 +50,84 @@ def _span_position_terms(starts, ends, position_distance_normalizer):
     return position_distance, span_distance
 
 
-def distance_matrix(elements, element_type, reference, options):
+def _pair_key(first, second):
+    return (id(first), id(second))
+
+
+def precompute_ins_edit_distances(samples, reference, options):
+    """One batched edit-distance pass over the near pairs of ALL insertion
+    partitions (the clustering inner loop, SVIM_clustering.py:64-77).
+    Returns {(id(a), id(b)): distance} with both key orders present.
+
+    Batching across partitions is what feeds the device wavefront kernel
+    enough pairs to amortize dispatch; the values are exact either way."""
+    from svim_tpu.cluster.edit_distance import batch_edit_distances
+
+    keys = []
+    haplotype_pairs = []
+    band_hints = []
+    gate = 2 * options.cluster_max_distance
+    for sample in samples:
+        if len(sample) < 2 or sample[0].type != "INS":
+            continue
+        n = len(sample)
+        starts = np.fromiter((e.get_source()[1] for e in sample), dtype=np.int64,
+                             count=n)
+        spans = np.fromiter((e.get_source()[2] - e.get_source()[1] for e in sample),
+                            dtype=np.int64, count=n)
+        position_distance = (np.abs(starts[:, None] - starts[None, :])
+                             / options.position_distance_normalizer)
+        pairs_i, pairs_j = np.nonzero(np.triu(position_distance <= gate, k=1))
+        if not len(pairs_i):
+            continue
+        window = PartitionWindow(reference, sample[0].contig,
+                                 int(starts.min()), int(starts.max()))
+        sequences = [e.sequence.upper() for e in sample]
+        for i, j in zip(pairs_i.tolist(), pairs_j.tolist()):
+            w_start = min(starts[i], starts[j]) - WINDOW_PADDING
+            w_end = max(starts[i], starts[j]) + WINDOW_PADDING
+            keys.append(_pair_key(sample[i], sample[j]))
+            haplotype_pairs.append((
+                window.slice(w_start, starts[i]) + sequences[i]
+                + window.slice(starts[i], w_end),
+                window.slice(w_start, starts[j]) + sequences[j]
+                + window.slice(starts[j], w_end)))
+            # proven distance bound: either swap the inserts outright, or
+            # align insert<->insert and move the Delta-long reference run
+            band_hints.append(int(min(
+                spans[i] + spans[j],
+                max(spans[i], spans[j]) + 2 * abs(starts[i] - starts[j]))))
+    values = batch_edit_distances(haplotype_pairs,
+                                  getattr(options, "edit_backend", "auto"),
+                                  band_hints=band_hints)
+    cache = {}
+    for (key_a, key_b), value in zip(keys, values):
+        cache[(key_a, key_b)] = value
+        cache[(key_b, key_a)] = value
+    return cache
+
+
+def ins_pair_distance(first, second, reference, options, ed_cache=None):
+    """Scalar INS distance with optional cached edit distance (same float op
+    order as the reference, SVIM_clustering.py:64-77)."""
+    span1 = first.get_source()[2] - first.get_source()[1]
+    span2 = second.get_source()[2] - second.get_source()[1]
+    position_distance = (abs(first.get_source()[1] - second.get_source()[1])
+                         / options.position_distance_normalizer)
+    if position_distance > 2 * options.cluster_max_distance:
+        span_distance = abs(span1 - span2) / max(span1, span2)
+        return position_distance + span_distance
+    if ed_cache is not None:
+        distance = ed_cache[_pair_key(first, second)]
+    else:
+        from svim_tpu.cluster.distance import compute_haplotype_edit_distance
+        distance = compute_haplotype_edit_distance(first, second, reference)
+    sequence_distance = (distance / max(span1, span2)
+                         / options.edit_distance_normalizer)
+    return position_distance + sequence_distance
+
+
+def distance_matrix(elements, element_type, reference, options, ed_cache=None):
     """Full pairwise span-position distance matrix (no same-read wall)."""
     n = len(elements)
     starts = np.fromiter((e.get_source()[1] for e in elements), dtype=np.int64, count=n)
@@ -96,20 +173,24 @@ def distance_matrix(elements, element_type, reference, options):
         # reference-padded haplotypes (SVIM_clustering.py:64-77)
         pairs_i, pairs_j = np.nonzero(np.triu(near, k=1))
         if len(pairs_i):
-            window = PartitionWindow(reference, elements[0].contig,
-                                     int(starts.min()), int(starts.max()))
-            sequences = [e.sequence.upper() for e in elements]
-            haplotype_pairs = []
-            for i, j in zip(pairs_i.tolist(), pairs_j.tolist()):
-                w_start = min(starts[i], starts[j]) - WINDOW_PADDING
-                w_end = max(starts[i], starts[j]) + WINDOW_PADDING
-                haplotype_pairs.append((
-                    window.slice(w_start, starts[i]) + sequences[i]
-                    + window.slice(starts[i], w_end),
-                    window.slice(w_start, starts[j]) + sequences[j]
-                    + window.slice(starts[j], w_end)))
-            distances = batch_edit_distances(
-                haplotype_pairs, getattr(options, "edit_backend", "auto"))
+            if ed_cache is not None:
+                distances = [ed_cache[_pair_key(elements[i], elements[j])]
+                             for i, j in zip(pairs_i.tolist(), pairs_j.tolist())]
+            else:
+                window = PartitionWindow(reference, elements[0].contig,
+                                         int(starts.min()), int(starts.max()))
+                sequences = [e.sequence.upper() for e in elements]
+                haplotype_pairs = []
+                for i, j in zip(pairs_i.tolist(), pairs_j.tolist()):
+                    w_start = min(starts[i], starts[j]) - WINDOW_PADDING
+                    w_end = max(starts[i], starts[j]) + WINDOW_PADDING
+                    haplotype_pairs.append((
+                        window.slice(w_start, starts[i]) + sequences[i]
+                        + window.slice(starts[i], w_end),
+                        window.slice(w_start, starts[j]) + sequences[j]
+                        + window.slice(starts[j], w_end)))
+                distances = batch_edit_distances(
+                    haplotype_pairs, getattr(options, "edit_backend", "auto"))
             for (i, j), distance in zip(zip(pairs_i.tolist(), pairs_j.tolist()),
                                         distances):
                 value = (position_distance[i, j]

@@ -65,27 +65,43 @@ def clusters_from_partitions(partitions, reference, options):
     large_partitions = 0
     duplicate_signatures = 0
     seed(RANDOM_SEED)
+    # subsample oversized partitions upfront (same RNG consumption order as
+    # sampling inside the loop)
+    samples = []
     for partition in partitions:
-        if len(partition) == 1:
-            # singleton partitions skip dedup and linkage entirely (the
-            # reference reaches the same single cluster through the full path)
-            clusters_final.append([partition[0]])
-            continue
         if len(partition) > MAX_PARTITION_SIZE:
-            partition_sample = sample(partition, MAX_PARTITION_SIZE)
+            samples.append(sample(partition, MAX_PARTITION_SIZE))
             large_partitions += 1
         else:
-            partition_sample = partition
+            samples.append(partition)
+
+    # one batched edit-distance pass over every INS near pair of every
+    # partition: feeds the device wavefront kernel a full workload at once
+    ed_cache = None
+    if partitions and partitions[0] and partitions[0][0].type == "INS":
+        ed_cache = accel.precompute_ins_edit_distances(
+            [s for s in samples if len(s) >= 2], reference, options)
+
+    for partition_sample in samples:
+        if len(partition_sample) == 1:
+            # singleton partitions skip dedup and linkage entirely (the
+            # reference reaches the same single cluster through the full path)
+            clusters_final.append([partition_sample[0]])
+            continue
         element_type = partition_sample[0].type
         assert element_type in ("DEL", "DUP_TAN", "INV", "INS", "DUP_INT", "BND")
 
         if len(partition_sample) == 2:
             # pair fast path: one scalar distance decides dedup and the cut
             first, second = partition_sample
-            distance = span_position_distance(
-                first, second, element_type, reference,
-                options.position_distance_normalizer,
-                options.edit_distance_normalizer, options.cluster_max_distance)
+            if element_type == "INS":
+                distance = accel.ins_pair_distance(first, second, reference,
+                                                   options, ed_cache)
+            else:
+                distance = span_position_distance(
+                    first, second, element_type, reference,
+                    options.position_distance_normalizer,
+                    options.edit_distance_normalizer, options.cluster_max_distance)
             if element_type != "INV" and first.read == second.read:
                 if distance <= options.cluster_max_distance:
                     duplicate_signatures += 1
@@ -106,7 +122,7 @@ def clusters_from_partitions(partitions, reference, options):
         # distances are independent of other elements, so the surviving
         # submatrix equals the reference's recomputation)
         matrix = accel.distance_matrix(partition_sample, element_type,
-                                       reference, options)
+                                       reference, options, ed_cache=ed_cache)
         reads = accel.read_index_array(partition_sample)
         if element_type == "INV":
             # inversions keep same-read pairs: the two complementary flank

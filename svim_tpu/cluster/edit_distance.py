@@ -35,15 +35,34 @@ def edit_distance(pattern: str, text: str) -> int:
     return edit_distance_py(pattern, text)
 
 
-def batch_edit_distances(pairs, backend: str = "auto"):
+WAVEFRONT_MIN_PAIRS = 48
+_tpu_present = None
+
+
+def _on_tpu() -> bool:
+    global _tpu_present
+    if _tpu_present is None:
+        try:
+            import jax
+            _tpu_present = jax.devices()[0].platform == "tpu"
+        except Exception:
+            _tpu_present = False
+    return _tpu_present
+
+
+def batch_edit_distances(pairs, backend: str = "auto", band_hints=None):
     """Exact edit distances for many (a, b) pairs.
 
-    backend: "auto" (native Myers per pair, fastest for typical partition
-    sizes), "wavefront" (banded anti-diagonal device kernel — the TPU-scale
-    path), or "python"."""
+    backend: "auto" (native banded Myers per pair), "wavefront" (the batched
+    device kernel — opt-in: the experimental axon TPU runtime in this
+    environment has crashed its worker on large banded scans, so auto never
+    selects it), or "python".
+    band_hints: optional proven per-pair distance upper bounds (lets the
+    device kernel resolve each pair in one banded pass)."""
     if backend == "wavefront":
         from svim_tpu.ops.wavefront_kernel import batched_edit_distance
-        return batched_edit_distance(pairs)
+        return batched_edit_distance(pairs, initial_band=128,
+                                     band_hints=band_hints)
     if backend == "python":
         return [edit_distance_py(a, b) for a, b in pairs]
     return [edit_distance(a, b) for a, b in pairs]

@@ -111,9 +111,31 @@ def _encode(strings, length):
     return out
 
 
-def batched_edit_distance(pairs, initial_band: int = 64):
+def _pow2_at_least(value: int, floor: int) -> int:
+    result = floor
+    while result < value:
+        result *= 2
+    return result
+
+
+def _pow4_at_least(value: int, floor: int) -> int:
+    result = floor
+    while result < value:
+        result *= 4
+    return result
+
+
+BATCH_CHUNK = 1024  # fixed batch dimension: one compiled program per (L, band)
+
+
+def batched_edit_distance(pairs, initial_band: int = 64, band_hints=None):
     """Exact edit distances for a list of (a, b) string pairs on the device,
-    with band doubling until all pairs resolve."""
+    with band doubling until all pairs resolve.  Batch and length dimensions
+    are padded to power-of-two buckets so repeated calls reuse compiled
+    programs.
+
+    band_hints: optional per-pair PROVEN upper bounds on the distance; pairs
+    are grouped by power-of-two band and each group resolves in one pass."""
     if not pairs:
         return []
     results = np.full(len(pairs), -1, dtype=np.int64)
@@ -125,15 +147,49 @@ def batched_edit_distance(pairs, initial_band: int = 64):
             results[idx] = max(len(a), len(b))
             pending.remove(idx)
     band = initial_band
-    while pending:
-        subset = [pairs[idx] for idx in pending]
+
+    def run(subset_indices, band):
+        """One or more fixed-shape kernel calls: batch padded to BATCH_CHUNK
+        (chunked when larger), lengths bucketed pow4 from 512, band bucketed
+        pow4 from the caller's value — a handful of compiled programs total,
+        which matters when each compile pays a remote round trip."""
+        subset = [pairs[idx] for idx in subset_indices]
         length = max(max(len(a), len(b)) for a, b in subset)
-        length = max(length, 1)
-        a_codes = _encode([a for a, _ in subset], length)
-        b_codes = _encode([b for _, b in subset], length)
-        a_lens = np.asarray([len(a) for a, _ in subset], dtype=np.int32)
-        b_lens = np.asarray([len(b) for _, b in subset], dtype=np.int32)
-        answers = np.asarray(banded_distance(a_codes, a_lens, b_codes, b_lens, band))
+        length = _pow4_at_least(max(length, 1), 512)
+        band = min(band, length)  # a wider band than the strings is degenerate
+        answers = np.empty(len(subset), dtype=np.int64)
+        for chunk_start in range(0, len(subset), BATCH_CHUNK):
+            chunk = subset[chunk_start:chunk_start + BATCH_CHUNK]
+            a_codes = np.zeros((BATCH_CHUNK, length), dtype=np.uint8)
+            b_codes = np.zeros((BATCH_CHUNK, length), dtype=np.uint8)
+            a_codes[:len(chunk)] = _encode([a for a, _ in chunk], length)
+            b_codes[:len(chunk)] = _encode([b for _, b in chunk], length)
+            a_lens = np.zeros(BATCH_CHUNK, dtype=np.int32)
+            b_lens = np.zeros(BATCH_CHUNK, dtype=np.int32)
+            a_lens[:len(chunk)] = [len(a) for a, _ in chunk]
+            b_lens[:len(chunk)] = [len(b) for _, b in chunk]
+            out = np.asarray(banded_distance(a_codes, a_lens, b_codes, b_lens, band))
+            answers[chunk_start:chunk_start + len(chunk)] = out[:len(chunk)]
+        return answers, length
+
+    if band_hints is not None:
+        groups = {}
+        for idx in pending:
+            hint_band = _pow4_at_least(int(band_hints[idx]) + 1, initial_band)
+            groups.setdefault(hint_band, []).append(idx)
+        leftovers = []
+        for hint_band, indices in sorted(groups.items()):
+            answers, _length = run(indices, hint_band)
+            for position, idx in enumerate(indices):
+                if answers[position] <= hint_band:
+                    results[idx] = int(answers[position])
+                else:  # hint was not a true bound; fall through to doubling
+                    leftovers.append(idx)
+        pending = leftovers
+        band = max(groups) * 2 if groups else band
+
+    while pending:
+        answers, length = run(pending, band)
         still_pending = []
         for position, idx in enumerate(pending):
             if answers[position] <= band:
@@ -142,19 +198,10 @@ def batched_edit_distance(pairs, initial_band: int = 64):
                 still_pending.append(idx)
         pending = still_pending
         band *= 2
-        if band > 4 * length:
+        if pending and band > 2 * length:
             # distance can never exceed max length; one final full-width pass
-            band = 2 * length + 1
-            subset = [pairs[idx] for idx in pending]
-            if subset:
-                length = max(max(len(a), len(b)) for a, b in subset)
-                a_codes = _encode([a for a, _ in subset], length)
-                b_codes = _encode([b for _, b in subset], length)
-                a_lens = np.asarray([len(a) for a, _ in subset], dtype=np.int32)
-                b_lens = np.asarray([len(b) for _, b in subset], dtype=np.int32)
-                answers = np.asarray(banded_distance(a_codes, a_lens, b_codes,
-                                                     b_lens, band))
-                for position, idx in enumerate(pending):
-                    results[idx] = int(answers[position])
+            answers, _ = run(pending, band)
+            for position, idx in enumerate(pending):
+                results[idx] = int(answers[position])
             pending = []
     return results.tolist()
