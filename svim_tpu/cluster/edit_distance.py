@@ -65,6 +65,13 @@ def batch_edit_distances(pairs, backend: str = "auto", band_hints=None):
                                      band_hints=band_hints)
     if backend == "python":
         return [edit_distance_py(a, b) for a, b in pairs]
+    if len(pairs) >= 8:
+        try:
+            from svim_tpu.native import aligner, get_library
+            if get_library() is not None:
+                return aligner.edit_distance_batch(pairs)
+        except Exception:
+            pass
     return [edit_distance(a, b) for a, b in pairs]
 
 

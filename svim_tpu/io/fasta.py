@@ -24,38 +24,37 @@ class FastaIndexEntry:
 
 def build_fasta_index(path: str) -> List[FastaIndexEntry]:
     """Scan a FASTA file and produce .fai entries (name, length, offset,
-    linebases, linewidth)."""
-    entries: List[FastaIndexEntry] = []
+    linebases, linewidth).  Whole-buffer scan (find/count), not line
+    iteration — genomes are tens of MB and this runs at io speed."""
     with open(path, "rb") as handle:
-        name = None
-        length = 0
-        offset = 0
-        linebases = 0
-        linewidth = 0
-        first_line = True
-        while True:
-            line_start = handle.tell()
-            line = handle.readline()
-            if not line:
-                break
-            if line.startswith(b">"):
-                if name is not None:
-                    entries.append(FastaIndexEntry(name, length, offset, linebases, linewidth))
-                name = line[1:].split()[0].decode()
-                length = 0
-                offset = line_start + len(line)
-                linebases = 0
-                linewidth = 0
-                first_line = True
-            else:
-                stripped = line.rstrip(b"\r\n")
-                if first_line and stripped:
-                    linebases = len(stripped)
-                    linewidth = len(line)
-                    first_line = False
-                length += len(stripped)
-        if name is not None:
-            entries.append(FastaIndexEntry(name, length, offset, linebases, linewidth))
+        data = handle.read()
+    entries: List[FastaIndexEntry] = []
+    # records start with '>' at line starts only
+    if data.startswith(b">"):
+        position = 0
+    else:
+        marker = data.find(b"\n>")
+        position = marker + 1 if marker >= 0 else -1
+    while position >= 0:
+        header_end = data.find(b"\n", position)
+        if header_end < 0:
+            break
+        name = data[position + 1:header_end].split()[0].decode()
+        seq_start = header_end + 1
+        marker = data.find(b"\n>", header_end)
+        next_record = marker + 1 if marker >= 0 else -1
+        seq_end = next_record if next_record >= 0 else len(data)
+        block = data[seq_start:seq_end]
+        first_newline = block.find(b"\n")
+        if first_newline < 0:
+            linebases = len(block.rstrip(b"\r\n"))
+            linewidth = len(block)
+        else:
+            linewidth = first_newline + 1
+            linebases = len(block[:first_newline].rstrip(b"\r"))
+        length = len(block) - block.count(b"\n") - block.count(b"\r")
+        entries.append(FastaIndexEntry(name, length, seq_start, linebases, linewidth))
+        position = next_record
     return entries
 
 
@@ -89,6 +88,15 @@ class FastaFile:
                         int(fields[3]), int(fields[4])))
         else:
             self._entries = build_fasta_index(filename)
+            try:
+                # cache the index on disk (samtools faidx behavior) so
+                # repeated opens skip the scan
+                with open(fai_path, "w") as fai:
+                    for e in self._entries:
+                        fai.write("{0}\t{1}\t{2}\t{3}\t{4}\n".format(
+                            e.name, e.length, e.offset, e.linebases, e.linewidth))
+            except OSError:
+                pass  # read-only location: keep the in-memory index
         self._by_name: Dict[str, FastaIndexEntry] = {e.name: e for e in self._entries}
         self._handle = open(filename, "rb")
 

@@ -68,6 +68,10 @@ def get_library():
         lib.edit_distance_fast.restype = ctypes.c_int64
         lib.edit_distance_fast.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64]
+        lib.edit_distance_batch.restype = ctypes.c_int
+        lib.edit_distance_batch.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int]
         lib.bgzf_uncompressed_size.restype = ctypes.c_int64
         lib.bgzf_uncompressed_size.argtypes = [ctypes.c_char_p, ctypes.c_int64]
         lib.bgzf_decompress.restype = ctypes.c_int
@@ -134,6 +138,45 @@ class aligner:
         b_bytes = b.encode()
         return int(lib.edit_distance_fast(a_bytes, len(a_bytes),
                                           b_bytes, len(b_bytes)))
+
+    @staticmethod
+    def edit_distance_batch(pairs, n_threads: int = 0):
+        """Exact distances for many (a, b) pairs across a thread pool."""
+        import numpy as np
+
+        lib = get_library()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        if not pairs:
+            return []
+        if n_threads <= 0:
+            n_threads = min(8, os.cpu_count() or 1)
+        chunks = []
+        a_off = np.empty(len(pairs), dtype=np.int64)
+        a_len = np.empty(len(pairs), dtype=np.int64)
+        b_off = np.empty(len(pairs), dtype=np.int64)
+        b_len = np.empty(len(pairs), dtype=np.int64)
+        offset = 0
+        for row, (a, b) in enumerate(pairs):
+            a_bytes = a.encode()
+            b_bytes = b.encode()
+            chunks.append(a_bytes)
+            chunks.append(b_bytes)
+            a_off[row] = offset
+            a_len[row] = len(a_bytes)
+            offset += len(a_bytes)
+            b_off[row] = offset
+            b_len[row] = len(b_bytes)
+            offset += len(b_bytes)
+        blob = b"".join(chunks)
+        out = np.empty(len(pairs), dtype=np.int64)
+
+        def ptr(array):
+            return array.ctypes.data_as(ctypes.c_void_p)
+
+        lib.edit_distance_batch(blob, ptr(a_off), ptr(a_len), ptr(b_off),
+                                ptr(b_len), len(pairs), ptr(out), n_threads)
+        return out.tolist()
 
     @staticmethod
     def edit_distance_full(a: str, b: str) -> int:

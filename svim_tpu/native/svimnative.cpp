@@ -460,18 +460,49 @@ static int64_t banded_levenshtein(const uint8_t* a, int64_t m,
   return result;
 }
 
-// Output-sensitive exact Levenshtein: banded with doubling, falling back to
-// the full bit-parallel recurrence only for very distant pairs.
+int64_t myers_distance(const uint8_t* pattern, int64_t m,
+                       const uint8_t* text, int64_t n);
+
+// Output-sensitive exact Levenshtein: a cheap 64-wide band first (resolves
+// similar pairs at ~2 ops/cell), then the full bit-parallel recurrence
+// (64 cells/word beats any wider scalar band).
 int64_t edit_distance_fast(const uint8_t* a, int64_t m,
                            const uint8_t* b, int64_t n) {
   if (m == 0) return n;
   if (n == 0) return m;
-  int64_t max_len = m > n ? m : n;
-  for (int64_t band = 64; band < max_len; band *= 4) {
-    int64_t d = banded_levenshtein(a, m, b, n, band);
-    if (d >= 0) return d;
-  }
-  return banded_levenshtein(a, m, b, n, max_len);
+  int64_t d = banded_levenshtein(a, m, b, n, 64);
+  if (d >= 0) return d;
+  return myers_distance(a, m, b, n);
+}
+
+// Batched edit distance across a thread pool: one call for all near pairs of
+// a clustering pass (the reference is single-threaded by design,
+// README.rst:73 — scaling the host inner loop across cores is part of what
+// this framework adds).
+int edit_distance_batch(const char* blob,
+                        const int64_t* a_off, const int64_t* a_len,
+                        const int64_t* b_off, const int64_t* b_len,
+                        int64_t n, int64_t* out, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  auto worker = [&](int worker_id) {
+    for (int64_t i = worker_id; i < n; i += n_threads) {
+      const uint8_t* a = (const uint8_t*)blob + a_off[i];
+      const uint8_t* b = (const uint8_t*)blob + b_off[i];
+      int64_t m = a_len[i], nn = b_len[i];
+      if (m == 0 || nn == 0) {
+        out[i] = m > nn ? m : nn;
+        continue;
+      }
+      int64_t d = banded_levenshtein(a, m, b, nn, 64);
+      if (d < 0) d = myers_distance(a, m, b, nn);
+      out[i] = d;
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < n_threads; ++t) threads.emplace_back(worker, t);
+  worker(0);
+  for (auto& thread : threads) thread.join();
+  return 0;
 }
 
 // Myers bit-parallel Levenshtein distance over 64-bit words (edlib's role,
