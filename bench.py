@@ -155,11 +155,14 @@ def run_cluster_reference(signatures, options):
     return cluster_sv_signatures_reference(signatures, options)
 
 
-def _probe_tpu(timeout_s: int = 420) -> bool:
+def _probe_tpu(timeout_s: int = None) -> bool:
     """Run a trivial computation on the default jax platform in a SUBPROCESS:
     the axon TPU worker can crash/hang (first attach also takes minutes), and
     a hung in-process attach would take the whole benchmark down."""
     import subprocess
+    if timeout_s is None:
+        # cold axon attach alone can take 60-240+ s
+        timeout_s = int(os.environ.get("SVIM_BENCH_PROBE_TIMEOUT", "600"))
     code = ("import jax, jax.numpy as jnp;"
             "print(int(jnp.arange(4).sum()))")
     try:

@@ -113,10 +113,11 @@ def collect_signatures_from_bam(bam_path: str, options):
     return header, packed, signatures, twins
 
 
-def _run_collect_scan(packed, options):
-    """Run the fused geometry+events device pass and fill the packed batch's
-    geometry columns.  Grows the event bound on overflow."""
-    import jax
+def dispatch_collect_scan(packed, options):
+    """Dispatch the fused geometry+events device pass WITHOUT waiting
+    (async): returns (device result tuple, max_events) for
+    finish_collect_scan.  Lets a streaming caller overlap device compute with
+    host-side work on the previous batch."""
     import jax.numpy as jnp
 
     from svim_tpu.ops.cigar_kernel import _round_up_pow2, collect_scan
@@ -127,15 +128,29 @@ def _run_collect_scan(packed, options):
         words_batch = jnp.asarray(packed.cigar_words)
     ref_start = jnp.asarray(np.asarray(packed.ref_start, dtype=np.int32))
     max_events = _round_up_pow2(max(1024, packed.n * 4))
+    result = collect_scan(words_batch, ref_start,
+                          jnp.int32(options.min_sv_size), max_events)
+    return (words_batch, ref_start, result, max_events)
+
+
+def finish_collect_scan(packed, dispatched, options):
+    """Wait on a dispatched device pass, fill the packed batch's geometry
+    columns, return the compacted events (re-running with a larger bound on
+    overflow)."""
+    import jax
+    import jax.numpy as jnp
+
+    from svim_tpu.ops.cigar_kernel import _round_up_pow2, collect_scan
+
+    words_batch, ref_start, result, max_events = dispatched
     while True:
-        result = jax.device_get(collect_scan(
-            words_batch, ref_start,
-            jnp.int32(options.min_sv_size), max_events))
         (ref_end, read_len, qa_start, qa_end, has_hard, rows, pos_ref,
-         pos_read, lengths, is_ins, count) = result
+         pos_read, lengths, is_ins, count) = jax.device_get(result)
         if count <= max_events:
             break
         max_events = _round_up_pow2(int(count))
+        result = collect_scan(words_batch, ref_start,
+                              jnp.int32(options.min_sv_size), max_events)
     packed.ref_end = np.asarray(ref_end)
     packed.read_len = np.asarray(read_len)
     packed.qa_start = np.asarray(qa_start)
@@ -144,6 +159,11 @@ def _run_collect_scan(packed, options):
     count = int(count)
     return (rows[:count], pos_ref[:count], pos_read[:count], lengths[:count],
             is_ins[:count])
+
+
+def _run_collect_scan(packed, options):
+    return finish_collect_scan(packed, dispatch_collect_scan(packed, options),
+                               options)
 
 
 def _slice_sequence(sequences, row, start, end):
@@ -155,11 +175,13 @@ def _slice_sequence(sequences, row, start, end):
     return sequence[start:end] if sequence is not None else ""
 
 
-def signatures_from_packed(packed, sa_tags, name_table, options):
+def signatures_from_packed(packed, sa_tags, name_table, options,
+                           dispatched=None):
     """Shared core: device kernels over one packed batch.
 
     name_table provides get_tid / the reference-name lookup (an AlignmentFile
-    or an AlignmentHeader)."""
+    or an AlignmentHeader).  `dispatched` accepts an in-flight device pass
+    from dispatch_collect_scan (streaming pipelining)."""
     getrname = (name_table.getrname if hasattr(name_table, "getrname")
                 else name_table.get_reference_name)
     get_tid = name_table.get_tid
@@ -168,7 +190,10 @@ def signatures_from_packed(packed, sa_tags, name_table, options):
     per_row_twins: Dict[int, List] = {}
 
     # ---- fused device pass: geometry + compacted CIGAR indel events ---------------
-    rows, pos_ref, pos_read, lengths, is_ins = _run_collect_scan(packed, options)
+    if dispatched is None:
+        dispatched = dispatch_collect_scan(packed, options)
+    rows, pos_ref, pos_read, lengths, is_ins = finish_collect_scan(
+        packed, dispatched, options)
     for row, p_ref, p_read, length, ins in zip(rows.tolist(), pos_ref.tolist(),
                                                pos_read.tolist(), lengths.tolist(),
                                                is_ins.tolist()):

@@ -314,7 +314,7 @@ def collect_streaming(path: str, options):
     """Streaming COLLECT: bounded-memory scan -> per-batch device kernels.
 
     Returns (header, GenotypeTable, signatures, twins)."""
-    from svim_tpu.collect.packed import signatures_from_packed
+    from svim_tpu.collect.packed import dispatch_collect_scan, signatures_from_packed
 
     stream = stream_bam(path, options.min_mapq, options.batch_reads)
     header = next(stream)
@@ -325,9 +325,10 @@ def collect_streaming(path: str, options):
     ref_end_parts = []
     mapq_parts = []
     names_all: List[str] = []
-    for batch in stream:
+
+    def consume(batch, dispatched):
         batch_sigs, batch_twins = signatures_from_packed(
-            batch.packed, batch.sa_tags, header, options)
+            batch.packed, batch.sa_tags, header, options, dispatched=dispatched)
         signatures.extend(batch_sigs)
         twins.extend(batch_twins)
         n = batch.n_real
@@ -336,6 +337,17 @@ def collect_streaming(path: str, options):
         ref_end_parts.append(np.asarray(batch.packed.ref_end[:n]))
         mapq_parts.append(np.asarray(batch.packed.mapq[:n]))
         names_all.extend(batch.packed.names[row] for row in range(n))
+
+    # two-deep pipeline: batch N+1's device pass runs while batch N's events
+    # materialize on the host
+    in_flight = None
+    for batch in stream:
+        dispatched = dispatch_collect_scan(batch.packed, options)
+        if in_flight is not None:
+            consume(*in_flight)
+        in_flight = (batch, dispatched)
+    if in_flight is not None:
+        consume(*in_flight)
     if ref_id_parts:
         table = GenotypeTable(np.concatenate(ref_id_parts),
                               np.concatenate(ref_start_parts),
