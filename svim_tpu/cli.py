@@ -117,7 +117,13 @@ def _collect(options):
                       "sorting order in its header line.")
         return None
     if sort_order == "coordinate":
-        sigs, trans = analyze_alignment_file_coordsorted(aln_file, options)
+        if options.device_backend != "host":
+            # SAM text input: records are already parsed; pack them and run
+            # the same device kernels as the BAM fast path
+            from svim_tpu.collect.packed import collect_signatures_packed
+            sigs, trans = collect_signatures_packed(aln_file, options)
+        else:
+            sigs, trans = analyze_alignment_file_coordsorted(aln_file, options)
     elif sort_order == "queryname":
         sigs, trans = analyze_alignment_file_querysorted(aln_file, options)
         logging.warning("Skipping genotyping because it requires a coordinate-sorted "

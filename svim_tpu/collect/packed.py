@@ -122,6 +122,23 @@ def dispatch_collect_scan(packed, options):
 
     from svim_tpu.ops.cigar_kernel import _round_up_pow2, collect_scan
 
+    num_shards = getattr(options, "num_shards", 1)
+    if num_shards > 1:
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devices = jax.devices()[:num_shards]
+        if len(devices) == num_shards and packed.n % num_shards == 0:
+            mesh = Mesh(np.asarray(devices), axis_names=("data",))
+            words_batch = jax.device_put(packed.cigar_words,
+                                         NamedSharding(mesh, P("data", None)))
+            ref_start = jax.device_put(
+                np.asarray(packed.ref_start, dtype=np.int32),
+                NamedSharding(mesh, P("data")))
+            max_events = _round_up_pow2(max(1024, packed.n * 4))
+            result = collect_scan(words_batch, ref_start,
+                                  jnp.int32(options.min_sv_size), max_events)
+            return (words_batch, ref_start, result, max_events)
     if packed.device_cigars is not None:
         words_batch = packed.device_cigars
     else:
