@@ -141,10 +141,13 @@ def _collect(options):
 def run_pipeline(options):
     """The four-stage pipeline; returns the exit code."""
     root_logger = logging.getLogger()
-    timer = StageTimer(enabled=options.profile)
+    timer = StageTimer(
+        enabled=options.profile,
+        trace_dir=(os.path.join(options.working_dir, "traces")
+                   if options.profile else None))
 
     logging.info("****************** STEP 1: COLLECT ******************")
-    with timer.stage("collect"):
+    with timer.stage("collect", trace=True):
         result = _collect(options)
     if result is None:
         return 1
@@ -169,7 +172,7 @@ def run_pipeline(options):
     logging.info("Found {0} signatures for {1}.".format(count, type_names["DUP_INT"]))
 
     logging.info("****************** STEP 2: CLUSTER ******************")
-    with timer.stage("cluster"):
+    with timer.stage("cluster", trace=True):
         signature_clusters = cluster_sv_signatures(sv_signatures, options)
         translocation_clusters_all_bnds = None
         if options.all_bnds:

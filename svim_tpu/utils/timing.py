@@ -22,10 +22,13 @@ class StageTimer:
         self.durations: Dict[str, float] = {}
 
     @contextlib.contextmanager
-    def stage(self, name: str):
+    def stage(self, name: str, trace: bool = False):
+        """Time a stage; `trace=True` additionally records a jax profiler
+        trace (only worth it for device-heavy stages — tracing host-only
+        matplotlib work multiplies its wall time)."""
         start = time.perf_counter()
         trace_ctx = contextlib.nullcontext()
-        if self.enabled and self.trace_dir:
+        if trace and self.enabled and self.trace_dir:
             import jax
             trace_ctx = jax.profiler.trace(self.trace_dir)
         with trace_ctx:
