@@ -209,8 +209,59 @@ def signatures_from_packed(packed, sa_tags, name_table, options,
     # ---- fused device pass: geometry + compacted CIGAR indel events ---------------
     if dispatched is None:
         dispatched = dispatch_collect_scan(packed, options)
+
+    # overlap with the in-flight device pass: SA-tag parsing needs no geometry
+    supplementary = (packed.flag & FSUPPLEMENTARY) != 0
+    sa_parsed: Dict[int, List] = {}
+    for row in range(packed.n):
+        sa_tag = sa_tags[row]
+        if sa_tag is None or supplementary[row]:
+            continue
+        segments_supplementary = _parse_sa_segments(sa_tag, get_tid, options.min_mapq)
+        if segments_supplementary:
+            sa_parsed[row] = segments_supplementary
+
     rows, pos_ref, pos_read, lengths, is_ins = finish_collect_scan(
         packed, dispatched, options)
+
+    # ---- split-read segment groups (dispatch the classifier BEFORE the host
+    # indel materialization so the two overlap) -------------------------------------
+    has_hard_clip = packed.has_hard_clip
+    group_rows: List[int] = []
+    group_segments: List[List] = []
+    fallback_rows: List[int] = []
+    for row, segments_supplementary in sa_parsed.items():
+        if has_hard_clip[row]:
+            continue
+        if packed.is_reverse[row]:
+            read_length = int(packed.read_len[row])
+            primary_q = (read_length - int(packed.qa_end[row]),
+                         read_length - int(packed.qa_start[row]))
+        else:
+            primary_q = (int(packed.qa_start[row]), int(packed.qa_end[row]))
+        segments = [(primary_q[0], primary_q[1], int(packed.ref_id[row]),
+                     int(packed.ref_start[row]), int(packed.ref_end[row]),
+                     bool(packed.is_reverse[row]))]
+        segments += [(seg.q_start, seg.q_end, seg.ref_id, seg.ref_start,
+                      seg.ref_end, seg.is_reverse) for seg in segments_supplementary]
+        segments.sort(key=lambda seg: (seg[0], seg[1]))
+        if len(segments) > MAX_SEGMENTS:
+            if packed.records is not None:
+                # pathological chimeras: run the sequential host analyzer
+                # later (after indel materialization, preserving row order)
+                fallback_rows.append(row)
+                continue
+            logging.warning("read %s has %d alignment segments; truncating to %d",
+                            packed.names[row], len(segments), MAX_SEGMENTS)
+            segments = segments[:MAX_SEGMENTS]
+        group_rows.append(row)
+        group_segments.append(segments)
+
+    classify_outputs = None
+    if group_rows:
+        classify_outputs = _dispatch_classify(group_segments, options)
+
+    # host indel materialization overlaps the classify kernel
     for row, p_ref, p_read, length, ins in zip(rows.tolist(), pos_ref.tolist(),
                                                pos_read.tolist(), lengths.tolist(),
                                                is_ins.tolist()):
@@ -230,53 +281,21 @@ def signatures_from_packed(packed, sa_tags, name_table, options,
                     contig, start, "fwd", contig, start + length, "fwd",
                     "cigar", name))
 
-    # ---- split-read segment groups -----------------------------------------------
-    has_hard_clip = packed.has_hard_clip
-    supplementary = (packed.flag & FSUPPLEMENTARY) != 0
-    group_rows: List[int] = []
-    group_segments: List[List] = []
-    for row in range(packed.n):
-        sa_tag = sa_tags[row]
-        if sa_tag is None or supplementary[row] or has_hard_clip[row]:
-            continue
-        segments_supplementary = _parse_sa_segments(sa_tag, get_tid, options.min_mapq)
-        if not segments_supplementary:
-            continue
-        if packed.is_reverse[row]:
-            read_length = int(packed.read_len[row])
-            primary_q = (read_length - int(packed.qa_end[row]),
-                         read_length - int(packed.qa_start[row]))
-        else:
-            primary_q = (int(packed.qa_start[row]), int(packed.qa_end[row]))
-        segments = [(primary_q[0], primary_q[1], int(packed.ref_id[row]),
-                     int(packed.ref_start[row]), int(packed.ref_end[row]),
-                     bool(packed.is_reverse[row]))]
-        segments += [(seg.q_start, seg.q_end, seg.ref_id, seg.ref_start,
-                      seg.ref_end, seg.is_reverse) for seg in segments_supplementary]
-        segments.sort(key=lambda seg: (seg[0], seg[1]))
-        if len(segments) > MAX_SEGMENTS:
-            if packed.records is not None:
-                # pathological chimeras: use the sequential host analyzer
-                from svim_tpu.collect.collect import retrieve_other_alignments
-                from svim_tpu.collect.inter import analyze_read_segments
-                record = packed.records[row]
-                supplementary_records = [
-                    aln for aln in retrieve_other_alignments(record, name_table)
-                    if not aln.is_unmapped and aln.mapping_quality >= options.min_mapq]
-                sigs, twin_sigs = analyze_read_segments(record, supplementary_records,
-                                                        name_table, options)
-                per_row_sigs.setdefault(row, []).extend(sigs)
-                per_row_twins.setdefault(row, []).extend(twin_sigs)
-                continue
-            logging.warning("read %s has %d alignment segments; truncating to %d",
-                            packed.names[row], len(segments), MAX_SEGMENTS)
-            segments = segments[:MAX_SEGMENTS]
-        group_rows.append(row)
-        group_segments.append(segments)
+    for row in fallback_rows:
+        from svim_tpu.collect.collect import retrieve_other_alignments
+        from svim_tpu.collect.inter import analyze_read_segments
+        record = packed.records[row]
+        supplementary_records = [
+            aln for aln in retrieve_other_alignments(record, name_table)
+            if not aln.is_unmapped and aln.mapping_quality >= options.min_mapq]
+        sigs, twin_sigs = analyze_read_segments(record, supplementary_records,
+                                                name_table, options)
+        per_row_sigs.setdefault(row, []).extend(sigs)
+        per_row_twins.setdefault(row, []).extend(twin_sigs)
 
-    if group_rows:
-        _classify_groups(group_rows, group_segments, packed, getrname, options,
-                         per_row_sigs, per_row_twins)
+    if classify_outputs is not None:
+        _classify_groups(group_rows, group_segments, classify_outputs, packed,
+                         getrname, options, per_row_sigs, per_row_twins)
 
     sv_signatures = []
     twins = []
@@ -286,11 +305,10 @@ def signatures_from_packed(packed, sa_tags, name_table, options,
     return sv_signatures, twins
 
 
-def _classify_groups(group_rows, group_segments, packed, getrname, options,
-                     per_row_sigs, per_row_twins):
-    """Run the pair-classification kernel over padded segment groups and
-    assemble per-read signatures in reference order."""
-    n_groups = len(group_rows)
+def _dispatch_classify(group_segments, options):
+    """Build the padded segment arrays and dispatch the pair-classification
+    kernel (async); returns (device outputs, is_reverse, ref_id)."""
+    n_groups = len(group_segments)
     s_pad = max(2, max(len(segments) for segments in group_segments))
 
     q_start = np.zeros((n_groups, s_pad), dtype=np.int32)
@@ -311,6 +329,14 @@ def _classify_groups(group_rows, group_segments, packed, getrname, options,
         np.int32(options.min_sv_size), np.int32(options.max_sv_size),
         np.int32(options.segment_gap_tolerance),
         np.int32(options.segment_overlap_tolerance))
+    return outputs, is_reverse, ref_id
+
+
+def _classify_groups(group_rows, group_segments, dispatched, packed, getrname,
+                     options, per_row_sigs, per_row_twins):
+    """Consume the pair-classification kernel outputs and assemble per-read
+    signatures in reference order."""
+    outputs, is_reverse, ref_id = dispatched
     (code, p1, p2, aux, contig2, qpos, twin_mask, twin_p1, twin_p2,
      twin_aux) = (np.asarray(out) for out in outputs)
 
