@@ -35,21 +35,6 @@ def edit_distance(pattern: str, text: str) -> int:
     return edit_distance_py(pattern, text)
 
 
-WAVEFRONT_MIN_PAIRS = 48
-_tpu_present = None
-
-
-def _on_tpu() -> bool:
-    global _tpu_present
-    if _tpu_present is None:
-        try:
-            import jax
-            _tpu_present = jax.devices()[0].platform == "tpu"
-        except Exception:
-            _tpu_present = False
-    return _tpu_present
-
-
 def batch_edit_distances(pairs, backend: str = "auto", band_hints=None):
     """Exact edit distances for many (a, b) pairs.
 

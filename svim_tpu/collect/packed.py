@@ -12,7 +12,7 @@ the sequential host path record-for-record, so everything downstream
 from __future__ import annotations
 
 import logging
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 import gzip
 import struct
 import zlib
-from typing import List, Tuple
+from typing import List
 
 from svim_tpu.io.sam import AlignmentHeader, AlignmentRecord
 

@@ -22,7 +22,7 @@ from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 
-from svim_tpu.io.bamscan import LazySequences, LazyStrings, build_packed
+from svim_tpu.io.bamscan import LazySequences, build_packed
 from svim_tpu.io.packing import bucket_size
 from svim_tpu.io.sam import AlignmentHeader
 

@@ -23,12 +23,6 @@ FREVERSE = 0x10
 FSECONDARY = 0x100
 FSUPPLEMENTARY = 0x800
 
-# ops consuming reference / query (see svim_tpu.io.cigar)
-_REF_OPS = (0, 2, 7, 8)
-_QUERY_OPS = (0, 1, 4, 7, 8)
-_READ_OPS = (0, 1, 4, 5, 7, 8)
-
-
 def bucket_size(max_ops: int) -> int:
     for bucket in CIGAR_BUCKETS:
         if max_ops <= bucket:

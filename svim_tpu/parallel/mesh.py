@@ -12,8 +12,6 @@ SVIM_clustering.py:17-29); the collectives are new capability.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
