@@ -1,0 +1,24 @@
+"""Accuracy regression: all six SV classes recovered from simulation
+(BASELINE config 2 shape)."""
+
+import os
+
+import pytest
+
+from svim_tpu.cli import main
+from svim_tpu.sim import SimConfig, evaluate_vcf, f1, simulate
+
+
+@pytest.mark.parametrize("seed", [1, 7])
+def test_all_classes_f1(tmp_path, seed):
+    config = SimConfig(seed=seed, genome_length=2_000_000,
+                       second_contig_length=500_000, coverage=10,
+                       n_del=6, n_ins=6, n_inv=5, n_tan=5, n_dup_int=4,
+                       n_bnd=4, n_background=80)
+    genome_path, bam_path, truth = simulate(str(tmp_path), config)
+    workdir = tmp_path / "wd"
+    assert main(["alignment", str(workdir), bam_path, genome_path]) == 0
+    results = evaluate_vcf(str(workdir / "variants.vcf"), truth)
+    for svtype, (tp, fp, fn) in results.items():
+        assert f1(tp, fp, fn) >= 0.9, (seed, svtype, tp, fp, fn)
+    assert f1(*results["ALL"]) >= 0.95, results["ALL"]
