@@ -88,6 +88,11 @@ def _collect(options):
         bam_path = run_alignment(options.working_dir, options.genome, options.reads,
                                  reads_type, options.cores, options.aligner,
                                  options.nanopore)
+        if options.device_backend != "host":
+            from svim_tpu.collect.packed import collect_signatures_from_bam
+            from svim_tpu.io.packed_fetch import PackedAlignmentIndex
+            header, packed, sigs, trans = collect_signatures_from_bam(bam_path, options)
+            return PackedAlignmentIndex(packed, header), sigs, trans
         aln_file = AlignmentFile(bam_path)
         sigs, trans = analyze_alignment_file_coordsorted(aln_file, options)
         return aln_file, sigs, trans
