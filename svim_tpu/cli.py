@@ -276,6 +276,8 @@ def main(arguments=None):
         print("Please choose one of the two modes ('reads' or 'alignment'). "
               "See --help for more information.")
         return 1
+    from svim_tpu.utils.device import select_backend
+    select_backend(options.device_backend)
     _setup_logging(options)
     logging.info("****************** Start svim-tpu, version {0} ******************".format(
         __version__))
