@@ -1,15 +1,15 @@
 """Read alignment wrapper for `reads` mode.
 
-Behavioral contract: svim/SVIM_alignment.py — shell out to
-ngmlr/minimap2 | samtools view | samtools sort + samtools index, with caching
-of an existing <prefix>.<aligner>.coordsorted.bam.
+Behavioral contract: svim/SVIM_alignment.py — align raw reads with ngmlr or
+minimap2, pipe through samtools view/sort, index, and cache an existing
+<prefix>.<aligner>.coordsorted.bam.
 """
 
 from __future__ import annotations
 
 import logging
 import os
-from subprocess import CalledProcessError, run
+import subprocess
 
 
 class ToolMissingError(Exception):
@@ -20,56 +20,68 @@ class AlignmentPipelineError(Exception):
     pass
 
 
-def check_prerequisites(aligner):
-    with open(os.devnull, "w") as devnull:
+_PREREQUISITES = ("gunzip", "samtools")
+
+
+def check_prerequisites(aligner: str) -> None:
+    for tool in _PREREQUISITES + (aligner,):
         try:
-            run(["gunzip", "--help"], stdout=devnull, stderr=devnull, check=True)
-            run([aligner, "--help"], stdout=devnull, stderr=devnull, check=True)
-            run(["samtools", "--help"], stdout=devnull, stderr=devnull, check=True)
+            subprocess.run([tool, "--help"], stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL, check=True)
         except FileNotFoundError as error:
             raise ToolMissingError(
                 "The alignment pipeline cannot be started because {0} was not "
-                "found. Is it installed and in the PATH?".format(error.filename)) from error
-        except CalledProcessError as error:
+                "found. Is it installed and in the PATH?".format(
+                    error.filename or tool)) from error
+        except subprocess.CalledProcessError as error:
             raise ToolMissingError(
-                "The alignment pipeline cannot be started because {0} failed.".format(
-                    " ".join(error.cmd))) from error
+                "The alignment pipeline cannot be started because {0} "
+                "failed.".format(" ".join(error.cmd))) from error
 
 
-def run_alignment(working_dir, genome, reads_path, reads_type, cores, aligner, nanopore):
-    """Align reads and produce a coordinate-sorted, indexed BAM
+def _aligner_stage(aligner: str, genome: str, reads_path: str, reads_type: str,
+                   cores: int, nanopore: bool) -> str:
+    reads = os.path.realpath(reads_path)
+    if aligner == "minimap2":
+        preset = "map-ont" if nanopore else "map-pb"
+        return "minimap2 -t {0} -x {1} -a {2} {3}".format(cores, preset, genome, reads)
+    # ngmlr cannot read gzipped input directly
+    stage = ""
+    if reads_type in ("fasta_gzip", "fastq_gzip"):
+        stage = "gunzip -c {0} | ngmlr -t {1} -r {2}".format(reads, cores, genome)
+    else:
+        stage = "ngmlr -t {0} -r {1} -q {2}".format(cores, genome, reads)
+    if nanopore:
+        stage += " -x ont"
+    return stage
+
+
+def run_alignment(working_dir: str, genome: str, reads_path: str,
+                  reads_type: str, cores: int, aligner: str,
+                  nanopore: bool) -> str:
+    """Produce (or reuse) a coordinate-sorted, indexed BAM for the reads
     (reference: SVIM_alignment.py:23-60)."""
     check_prerequisites(aligner)
-    reads_file_prefix = os.path.splitext(os.path.basename(reads_path))[0]
-    full_aln = "{0}/{1}.{2}.coordsorted.bam".format(working_dir, reads_file_prefix, aligner)
-    full_aln_index = full_aln + ".bai"
-    if os.path.exists(full_aln) and os.path.exists(full_aln_index):
+    prefix = os.path.splitext(os.path.basename(reads_path))[0]
+    bam_path = os.path.join(working_dir, "{0}.{1}.coordsorted.bam".format(prefix, aligner))
+    if os.path.exists(bam_path) and os.path.exists(bam_path + ".bai"):
         logging.warning("Alignment output file {0} already exists. Skip alignment "
-                        "and use the existing file.".format(full_aln))
-        return full_aln
-    try:
-        command_align = ["set", "-o", "pipefail", "&&"]
-        if aligner == "ngmlr":
-            if reads_type in ("fasta_gzip", "fastq_gzip"):
-                command_align += ["gunzip", "-c", os.path.realpath(reads_path),
-                                  "|", "ngmlr", "-t", str(cores), "-r", genome]
-            else:
-                command_align += ["ngmlr", "-t", str(cores), "-r", genome,
-                                  "-q", os.path.realpath(reads_path)]
-            if nanopore:
-                command_align += ["-x", "ont"]
-        elif aligner == "minimap2":
-            preset = "map-ont" if nanopore else "map-pb"
-            command_align += ["minimap2", "-t", str(cores), "-x", preset, "-a",
-                              genome, os.path.realpath(reads_path)]
-        command_align += ["|", "samtools", "view", "-b", "-@", str(cores)]
-        command_align += ["|", "samtools", "sort", "-@", str(cores), "-o", full_aln]
-        logging.info("Starting alignment pipeline..")
-        run(" ".join(command_align), shell=True, check=True, executable="/bin/bash")
-        run("samtools index " + full_aln, shell=True, check=True, executable="/bin/bash")
-    except CalledProcessError as error:
-        raise AlignmentPipelineError(
-            "The alignment pipeline failed with exit code {0}. Command was: {1}".format(
-                error.returncode, error.cmd)) from error
+                        "and use the existing file.".format(bam_path))
+        return bam_path
+
+    pipeline = " | ".join([
+        _aligner_stage(aligner, genome, reads_path, reads_type, cores, nanopore),
+        "samtools view -b -@ {0}".format(cores),
+        "samtools sort -@ {0} -o {1}".format(cores, bam_path),
+    ])
+    logging.info("Starting alignment pipeline..")
+    for command in ("set -o pipefail && " + pipeline,
+                    "samtools index " + bam_path):
+        try:
+            subprocess.run(command, shell=True, check=True, executable="/bin/bash")
+        except subprocess.CalledProcessError as error:
+            raise AlignmentPipelineError(
+                "The alignment pipeline failed with exit code {0}. Command "
+                "was: {1}".format(error.returncode, error.cmd)) from error
     logging.info("Alignment pipeline finished")
-    return full_aln
+    return bam_path
