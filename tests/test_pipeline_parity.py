@@ -50,3 +50,43 @@ def test_packed_and_host_pipelines_agree(tmp_path):
     for name in ("del.bed", "ins.bed", "inv.bed", "trans.bed"):
         assert (wd_packed / "signatures" / name).read_text() == \
             (wd_host / "signatures" / name).read_text()
+
+
+import pytest
+
+
+@pytest.mark.parametrize("seed,extra_flags", [
+    (33, ["--all_bnds"]),
+    (44, ["--read_names", "--insertion_sequences", "--zmws"]),
+    (55, ["--tandem_duplications_as_insertions",
+          "--interspersed_duplications_as_insertions"]),
+])
+def test_parity_fuzz_flag_combinations(tmp_path, seed, extra_flags):
+    """Whole-pipeline byte parity holds across randomized inputs and the
+    output-shaping flag combinations."""
+    import sys
+    sys.path.insert(0, str(tmp_path.parent))
+    from tests.test_packed_collect import _random_sam
+
+    rng = random.Random(seed)
+    sam_path = tmp_path / "fuzz.sam"
+    sam_path.write_text(_random_sam(rng, 90))
+    af = AlignmentFile(str(sam_path))
+    bam_path = tmp_path / "fuzz.bam"
+    bamio.write_bam(str(bam_path), af.header, list(af.fetch(until_eof=True)))
+    genome_path = tmp_path / "genome.fa"
+    rng2 = random.Random(seed + 1)
+    with open(genome_path, "w") as handle:
+        for contig in ("chr1", "chr2"):
+            handle.write(">{0}\n".format(contig))
+            for _ in range(600000 // 60):
+                handle.write("".join(rng2.choice("ACGT") for _ in range(60)) + "\n")
+
+    wd_packed = tmp_path / "wp"
+    wd_host = tmp_path / "wh"
+    assert main(["alignment", str(wd_packed), str(bam_path), str(genome_path)]
+                + extra_flags) == 0
+    assert main(["alignment", str(wd_host), str(bam_path), str(genome_path),
+                 "--device_backend", "host"] + extra_flags) == 0
+    assert _strip_date(wd_packed / "variants.vcf") == \
+        _strip_date(wd_host / "variants.vcf")
