@@ -82,11 +82,29 @@ def clusters_from_partitions(partitions, reference, options):
         ed_cache = accel.precompute_ins_edit_distances(
             [s for s in samples if len(s) >= 2], reference, options)
 
-    for partition_sample in samples:
+    # opt-in device clustering: span-position-only types in one batched pass
+    device_results = {}
+    if (getattr(options, "cluster_backend", "exact") == "device"
+            and partitions and partitions[0]):
+        from svim_tpu.cluster.device_cluster import DEVICE_TYPES, cluster_partitions_device
+        element_type = partitions[0][0].type
+        if element_type in DEVICE_TYPES:
+            eligible = [(index, sample_list) for index, sample_list in enumerate(samples)
+                        if 3 <= len(sample_list) <= 128]
+            if eligible:
+                per_partition = cluster_partitions_device(
+                    [sample_list for _, sample_list in eligible], element_type, options)
+                device_results = {index: clusters for (index, _), clusters
+                                  in zip(eligible, per_partition)}
+
+    for partition_index, partition_sample in enumerate(samples):
         if len(partition_sample) == 1:
             # singleton partitions skip dedup and linkage entirely (the
             # reference reaches the same single cluster through the full path)
             clusters_final.append([partition_sample[0]])
+            continue
+        if partition_index in device_results:
+            clusters_final.extend(device_results[partition_index])
             continue
         element_type = partition_sample[0].type
         assert element_type in ("DEL", "DUP_TAN", "INV", "INS", "DUP_INT", "BND")

@@ -79,6 +79,7 @@ class Config:
     # svim-tpu specific execution knobs (new capability; no reference analog)
     device_backend: str = "auto"       # "auto" | "tpu" | "cpu" | "host" (no kernels)
     edit_backend: str = "auto"         # "auto" | "wavefront" | "python"
+    cluster_backend: str = "exact"     # "exact" | "device" (f32 distances + on-device linkage)
     num_shards: int = 1                # data-parallel read shards over the mesh
     batch_reads: int = 4096            # reads per packed device batch
     stream_input: bool = False         # force the bounded-memory streaming scanner
@@ -168,6 +169,12 @@ def _add_common_options(parser: argparse.ArgumentParser) -> None:
                            help="Edit-distance backend for insertion clustering: "
                                 "native Myers (auto), the banded device kernel "
                                 "(wavefront), or pure Python (default: %(default)s).")
+    execution.add_argument("--cluster_backend", type=str, default=d.cluster_backend,
+                           choices=("exact", "device"),
+                           help="Clustering backend for span-position-only SV types: "
+                                "'exact' (host float64, reference-identical ties) or "
+                                "'device' (batched float32 distance matrices + on-device "
+                                "average linkage) (default: %(default)s).")
     execution.add_argument("--num_shards", type=int, default=d.num_shards,
                            help="Number of data-parallel read shards across the device mesh (default: %(default)s).")
     execution.add_argument("--batch_reads", type=int, default=d.batch_reads,

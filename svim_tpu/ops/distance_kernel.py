@@ -18,7 +18,7 @@ BIG = 99999.0
 TILE = 128
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("wall_same_read",))
 def span_position_matrix(starts, ends, read_ids, valid,
                          position_distance_normalizer, wall_same_read=True):
     """(B, P) int32 batch -> (B, P, P) float32 distances.
