@@ -125,7 +125,17 @@ def _pow4_at_least(value: int, floor: int) -> int:
     return result
 
 
-BATCH_CHUNK = 1024  # fixed batch dimension: one compiled program per (L, band)
+BATCH_CHUNK = 1024       # batch chunk at narrow bands
+MAX_CELLS_PER_STEP = 1 << 18  # cap B*K: wide-front carries at B=1024 blew the
+                              # axon TPU worker (VMEM-scale scan state)
+
+
+def _batch_chunk_for(band: int) -> int:
+    k_width = 2 * band + 1
+    chunk = BATCH_CHUNK
+    while chunk > 64 and chunk * k_width > MAX_CELLS_PER_STEP:
+        chunk //= 2
+    return chunk
 
 
 def batched_edit_distance(pairs, initial_band: int = 64, band_hints=None):
@@ -157,15 +167,16 @@ def batched_edit_distance(pairs, initial_band: int = 64, band_hints=None):
         length = max(max(len(a), len(b)) for a, b in subset)
         length = _pow4_at_least(max(length, 1), 512)
         band = min(band, length)  # a wider band than the strings is degenerate
+        chunk_size = _batch_chunk_for(band)
         answers = np.empty(len(subset), dtype=np.int64)
-        for chunk_start in range(0, len(subset), BATCH_CHUNK):
-            chunk = subset[chunk_start:chunk_start + BATCH_CHUNK]
-            a_codes = np.zeros((BATCH_CHUNK, length), dtype=np.uint8)
-            b_codes = np.zeros((BATCH_CHUNK, length), dtype=np.uint8)
+        for chunk_start in range(0, len(subset), chunk_size):
+            chunk = subset[chunk_start:chunk_start + chunk_size]
+            a_codes = np.zeros((chunk_size, length), dtype=np.uint8)
+            b_codes = np.zeros((chunk_size, length), dtype=np.uint8)
             a_codes[:len(chunk)] = _encode([a for a, _ in chunk], length)
             b_codes[:len(chunk)] = _encode([b for _, b in chunk], length)
-            a_lens = np.zeros(BATCH_CHUNK, dtype=np.int32)
-            b_lens = np.zeros(BATCH_CHUNK, dtype=np.int32)
+            a_lens = np.zeros(chunk_size, dtype=np.int32)
+            b_lens = np.zeros(chunk_size, dtype=np.int32)
             a_lens[:len(chunk)] = [len(a) for a, _ in chunk]
             b_lens[:len(chunk)] = [len(b) for _, b in chunk]
             out = np.asarray(banded_distance(a_codes, a_lens, b_codes, b_lens, band))
