@@ -73,10 +73,12 @@ def _span_position_tile_kernel(starts_ref, ends_ref, reads_ref, valid_ref,
     out_ref[0] = jnp.where(pair_valid, distance, BIG)
 
 
-@partial(jax.jit, static_argnames=())
+@partial(jax.jit, static_argnames=("interpret",))
 def span_position_matrix_pallas(starts, ends, read_ids, valid,
-                                position_distance_normalizer):
-    """Pallas-tiled batched distance matrices (TPU path)."""
+                                position_distance_normalizer,
+                                interpret: bool = False):
+    """Pallas-tiled batched distance matrices (TPU path; interpret=True runs
+    the same kernel on any backend for validation)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -92,4 +94,5 @@ def span_position_matrix_pallas(starts, ends, read_ids, valid,
         out_specs=pl.BlockSpec((1, p, p), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((batch, p, p), jnp.float32),
+        interpret=interpret,
     )(starts, ends, read_ids, valid, norm)
