@@ -130,7 +130,11 @@ def _collect(options):
         else:
             sigs, trans = analyze_alignment_file_coordsorted(aln_file, options)
     elif sort_order == "queryname":
-        sigs, trans = analyze_alignment_file_querysorted(aln_file, options)
+        if options.device_backend != "host":
+            from svim_tpu.collect.packed import collect_signatures_packed_querysorted
+            sigs, trans = collect_signatures_packed_querysorted(aln_file, options)
+        else:
+            sigs, trans = analyze_alignment_file_querysorted(aln_file, options)
         logging.warning("Skipping genotyping because it requires a coordinate-sorted "
                         "input BAM file. The given file is queryname-sorted according "
                         "to its header line.")

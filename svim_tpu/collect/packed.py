@@ -90,6 +90,116 @@ def collect_signatures_packed(bam, options):
     return signatures_from_packed(packed, sa_tags, bam, options)
 
 
+def collect_signatures_packed_querysorted(bam, options):
+    """COLLECT over a queryname-sorted file using the device kernels.
+
+    Groups records per read (reference: SVIM_COLLECT.py:96-129): exactly one
+    mapped primary above min_mapq, real supplementary records (SA tags are
+    ignored on this path), secondaries dropped.  Segment geometry comes from
+    the fused device pass, so no per-record CIGAR walking happens on the
+    host."""
+    from svim_tpu.collect.collect import bam_iterator
+
+    keep_records = []
+    group_sizes = []   # rows per kept read group (primary first)
+    for primary_aln, suppl_aln, _sec in bam_iterator(bam):
+        if (len(primary_aln) != 1 or primary_aln[0].is_unmapped
+                or primary_aln[0].mapping_quality < options.min_mapq):
+            continue
+        good_suppl = [aln for aln in suppl_aln
+                      if not aln.is_unmapped
+                      and aln.mapping_quality >= options.min_mapq]
+        keep_records.append(primary_aln[0])
+        keep_records.extend(good_suppl)
+        group_sizes.append(1 + len(good_suppl))
+    if not keep_records:
+        return [], []
+    packed = pack_alignments(keep_records)
+    return _signatures_from_grouped_packed(packed, group_sizes, bam, options)
+
+
+def _signatures_from_grouped_packed(packed, group_sizes, name_table, options):
+    """Kernel-driven COLLECT over per-read row groups (row 0 of each group is
+    the primary)."""
+    getrname = (name_table.getrname if hasattr(name_table, "getrname")
+                else name_table.get_reference_name)
+    per_row_sigs: Dict[int, List] = {}
+    per_row_twins: Dict[int, List] = {}
+
+    rows, pos_ref, pos_read, lengths, is_ins = _run_collect_scan(packed, options)
+
+    # split-read groups from the real supplementary rows: strand-corrected
+    # query bounds via the device geometry
+    group_rows: List[int] = []
+    group_segments: List[List] = []
+    row_base = 0
+    for size in group_sizes:
+        if size >= 2:
+            segments = []
+            for row in range(row_base, row_base + size):
+                if packed.is_reverse[row]:
+                    read_length = int(packed.read_len[row])
+                    q_pair = (read_length - int(packed.qa_end[row]),
+                              read_length - int(packed.qa_start[row]))
+                else:
+                    q_pair = (int(packed.qa_start[row]), int(packed.qa_end[row]))
+                segments.append((q_pair[0], q_pair[1], int(packed.ref_id[row]),
+                                 int(packed.ref_start[row]), int(packed.ref_end[row]),
+                                 bool(packed.is_reverse[row])))
+            segments.sort(key=lambda seg: (seg[0], seg[1]))
+            group_rows.append(row_base)  # attach split sigs to the primary row
+            group_segments.append(segments[:MAX_SEGMENTS])
+        row_base += size
+
+    classify_outputs = (_dispatch_classify(group_segments, options)
+                        if group_rows else None)
+
+    for row, p_ref, p_read, length, ins in zip(rows.tolist(), pos_ref.tolist(),
+                                               pos_read.tolist(), lengths.tolist(),
+                                               is_ins.tolist()):
+        contig = getrname(int(packed.ref_id[row]))
+        start = int(packed.ref_start[row]) + p_ref
+        name = packed.names[row]
+        sigs = per_row_sigs.setdefault(row, [])
+        if ins:
+            sequence = _slice_sequence(packed.sequences, row, p_read, p_read + length)
+            sigs.append(SignatureInsertion(contig, start, start + length,
+                                           "cigar", name, sequence))
+        else:
+            sigs.append(SignatureDeletion(contig, start, start + length,
+                                          "cigar", name))
+            if options.all_bnds:
+                per_row_twins.setdefault(row, []).append(SignatureTranslocation(
+                    contig, start, "fwd", contig, start + length, "fwd",
+                    "cigar", name))
+
+    if classify_outputs is not None:
+        # attach split-read signatures AFTER the group's indel signatures:
+        # route them to the group's LAST row + a sub-order past any indels
+        split_sigs: Dict[int, List] = {}
+        split_twins: Dict[int, List] = {}
+        _classify_groups(group_rows, group_segments, classify_outputs, packed,
+                         getrname, options, split_sigs, split_twins)
+        # reference order within a read: primary indels, suppl indels, split
+        # signatures — so splice split sigs after the group's final row
+        group_end = {}
+        row_base = 0
+        for size in group_sizes:
+            group_end[row_base] = row_base + size - 1
+            row_base += size
+        for primary_row, sigs in split_sigs.items():
+            per_row_sigs.setdefault(group_end[primary_row], []).extend(sigs)
+        for primary_row, twin_sigs in split_twins.items():
+            per_row_twins.setdefault(group_end[primary_row], []).extend(twin_sigs)
+
+    sv_signatures = []
+    twins = []
+    for row in range(packed.n):
+        sv_signatures.extend(per_row_sigs.get(row, ()))
+        twins.extend(per_row_twins.get(row, ()))
+    return sv_signatures, twins
+
+
 STREAMING_THRESHOLD_BYTES = 256 * 1024 * 1024
 
 
