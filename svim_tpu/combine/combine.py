@@ -48,29 +48,57 @@ def prepare_insertion_candidates(insertion_signature_clusters, options):
         return novel_insertion_candidates
 
     logging.info("Generating and realigning consensus sequence for insertions..")
+    import concurrent.futures
+    import os as _os
+
+    from svim_tpu.combine.consensus import consensus_from_inputs, prepare_consensus_inputs
+
+    # plan: small clusters pass through; eligible ones get their reference
+    # fetches serially (FastaFile handles are not thread-safe), then the
+    # POA + realignment compute runs on a thread pool (native calls release
+    # the GIL)
+    plan = []  # (ins_cluster, inputs or None)
     with FastaFile(options.genome) as reference:
-        # status: 0 successful, 1 skipped, 2 failed, 3 no consensus, 4 multiple
-        status_counter = [0, 0, 0, 0, 0]
         for ins_cluster in insertion_signature_clusters:
             if ins_cluster.score <= 0:
                 continue
             if len(ins_cluster.members) < 3:
-                novel_insertion_candidates.append(candidate_from(
-                    ins_cluster, ins_cluster.start, ins_cluster.end,
-                    ins_cluster.members[0].sequence))
+                plan.append((ins_cluster, None))
                 continue
-            status, consensus_result = generate_insertion_consensus(
-                ins_cluster, reference,
-                maximum_haplotype_length=options.max_consensus_length)
-            status_counter[status] += 1
-            if status == 0:
-                realigned_start, realigned_size, insertion_consensus = consensus_result
-                novel_insertion_candidates.append(candidate_from(
-                    ins_cluster, realigned_start, realigned_start + realigned_size,
-                    insertion_consensus))
-            else:
-                novel_insertion_candidates.append(candidate_from(
-                    ins_cluster, ins_cluster.start, ins_cluster.end, ""))
+            plan.append((ins_cluster,
+                         prepare_consensus_inputs(ins_cluster, reference)))
+
+    eligible = [(index, inputs) for index, (_, inputs) in enumerate(plan)
+                if inputs is not None]
+    outcomes = {}
+    if eligible:
+        workers = min(8, _os.cpu_count() or 1, len(eligible))
+        with concurrent.futures.ThreadPoolExecutor(workers) as pool:
+            for (index, _), outcome in zip(eligible, pool.map(
+                    lambda item: consensus_from_inputs(
+                        item[1],
+                        maximum_haplotype_length=options.max_consensus_length),
+                    eligible)):
+                outcomes[index] = outcome
+
+    # status: 0 successful, 1 skipped, 2 failed, 3 no consensus, 4 multiple
+    status_counter = [0, 0, 0, 0, 0]
+    for index, (ins_cluster, inputs) in enumerate(plan):
+        if inputs is None:
+            novel_insertion_candidates.append(candidate_from(
+                ins_cluster, ins_cluster.start, ins_cluster.end,
+                ins_cluster.members[0].sequence))
+            continue
+        status, consensus_result = outcomes[index]
+        status_counter[status] += 1
+        if status == 0:
+            realigned_start, realigned_size, insertion_consensus = consensus_result
+            novel_insertion_candidates.append(candidate_from(
+                ins_cluster, realigned_start, realigned_start + realigned_size,
+                insertion_consensus))
+        else:
+            novel_insertion_candidates.append(candidate_from(
+                ins_cluster, ins_cluster.start, ins_cluster.end, ""))
     logging.info("Generated and realigned consensus sequences for {0} insertions "
                  "({1} skipped, {2} failed with an error, {3} failed with no "
                  "consensus, {4} failed with multiple consensuses).".format(*status_counter))

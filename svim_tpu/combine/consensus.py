@@ -306,15 +306,13 @@ def _star_consensus(sequences, center=None):
     return "".join(consensus)
 
 
-def generate_insertion_consensus(ins_cluster, reference, window_padding=100,
-                                 maximum_haplotype_length=10000,
-                                 allowed_size_deviation=2.0):
-    """Consensus + realignment acceptance for one insertion cluster
-    (reference: SVIM_COMBINE.py:188-254)."""
+def prepare_consensus_inputs(ins_cluster, reference, window_padding=100):
+    """Reference fetches for one insertion cluster (serial: FastaFile handles
+    are not thread-safe).  Returns (haplotypes, ref_sequence, window_start,
+    expected_size, cluster_size)."""
     member_pos = [member.start for member in ins_cluster.members]
     window_start = min(member_pos) - window_padding
     window_end = max(member_pos) + window_padding
-
     haplotypes = []
     for member in ins_cluster.members:
         haplotype = reference.fetch(ins_cluster.contig, max(0, window_start),
@@ -323,6 +321,18 @@ def generate_insertion_consensus(ins_cluster, reference, window_padding=100,
         haplotype += reference.fetch(ins_cluster.contig, max(0, member.start),
                                      max(0, window_end)).upper()
         haplotypes.append(haplotype)
+    ref_sequence = reference.fetch(ins_cluster.contig, max(0, window_start),
+                                   max(0, window_end)).upper()
+    return (haplotypes, ref_sequence, window_start,
+            ins_cluster.end - ins_cluster.start, ins_cluster.size)
+
+
+def consensus_from_inputs(inputs, maximum_haplotype_length=10000,
+                          allowed_size_deviation=2.0):
+    """Pure-compute half of the consensus: POA + realignment + acceptance.
+    Thread-safe (native calls on local buffers), so clusters can run on a
+    thread pool."""
+    haplotypes, ref_sequence, window_start, expected_size, cluster_size = inputs
     largest_haplotype_length = max(len(h) for h in haplotypes)
     if largest_haplotype_length > maximum_haplotype_length:
         logging.info("Skipping consensus computation for insertion with haplotypes "
@@ -335,20 +345,16 @@ def generate_insertion_consensus(ins_cluster, reference, window_padding=100,
     except MemoryError:
         logging.warning("Error: consensus computation ran out of memory for a cluster "
                         "of insertion signatures (size = {0}, maximum haplotype "
-                        "length = {1}).".format(ins_cluster.size, largest_haplotype_length))
+                        "length = {1}).".format(cluster_size, largest_haplotype_length))
         return (2, ())
 
-    ref_sequence = reference.fetch(ins_cluster.contig, max(0, window_start),
-                                   max(0, window_end)).upper()
     try:
         consensus_row, ref_row = align_global(consensus_reads, ref_sequence)
     except MemoryError:
         logging.warning("Error: consensus realignment ran out of memory for a cluster "
                         "of insertion signatures (size = {0}, maximum haplotype "
-                        "length = {1}).".format(ins_cluster.size, largest_haplotype_length))
+                        "length = {1}).".format(cluster_size, largest_haplotype_length))
         return (2, ())
-
-    expected_size = ins_cluster.end - ins_cluster.start
     matches = []
     for match in re.finditer(r"-+", ref_row):
         match_size = match.end() - match.start()
@@ -371,3 +377,13 @@ def generate_insertion_consensus(ins_cluster, reference, window_padding=100,
                  "step). Expected size: {0}; Match sizes: {1}".format(
                      expected_size, "/".join(str(m[1]) for m in matches)))
     return (4, ())
+
+
+def generate_insertion_consensus(ins_cluster, reference, window_padding=100,
+                                 maximum_haplotype_length=10000,
+                                 allowed_size_deviation=2.0):
+    """Consensus + realignment acceptance for one insertion cluster
+    (reference: SVIM_COMBINE.py:188-254)."""
+    inputs = prepare_consensus_inputs(ins_cluster, reference, window_padding)
+    return consensus_from_inputs(inputs, maximum_haplotype_length,
+                                 allowed_size_deviation)

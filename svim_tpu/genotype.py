@@ -66,27 +66,27 @@ def _assign_genotype(candidate, alt_support, ref_support, options):
     candidate.alt_reads = alt_support
 
 
-def genotype_packed(candidates, table, header, type, options):
-    """Vectorized genotyping over a packed per-record table (numpy interval
-    join; exact reference semantics including the 500-alignment cap counted
-    in coordinate order).
+_genotype_index_cache = {}
 
-    `table` needs ref_id/ref_start/ref_end/mapq columns and a names list —
-    a PackedAlignments batch or an io.bamstream.GenotypeTable."""
+
+def _genotype_index(table):
+    """Name-id column + per-contig coordinate index for a packed table,
+    memoized per table object (built once, reused across the four per-type
+    genotyping calls)."""
     import numpy as np
+
+    cached = _genotype_index_cache.get(id(table))
+    if cached is not None and cached[0] is table:
+        return cached[1], cached[2]
 
     ref_id = np.asarray(table.ref_id)
     starts_all = np.asarray(table.ref_start, dtype=np.int64)
     ends_all = np.asarray(table.ref_end, dtype=np.int64)
-
-    # integer read identities (same id <=> same name)
     name_ids = np.empty(len(ref_id), dtype=np.int64)
     id_of_name = {}
     names = table.names
     for row in range(len(ref_id)):
         name_ids[row] = id_of_name.setdefault(names[row], len(id_of_name))
-
-    # per-tid coordinate order (matches a coordinate-sorted fetch)
     per_tid = {}
     for tid in np.unique(ref_id):
         if tid < 0:
@@ -98,6 +98,22 @@ def genotype_packed(candidates, table, header, type, options):
         max_span = int(spans.max()) if len(spans) else 0
         per_tid[int(tid)] = (starts_all[rows], ends_all[rows], name_ids[rows],
                              max_span)
+    # keep only the latest table to avoid unbounded growth
+    _genotype_index_cache.clear()
+    _genotype_index_cache[id(table)] = (table, id_of_name, per_tid)
+    return id_of_name, per_tid
+
+
+def genotype_packed(candidates, table, header, type, options):
+    """Vectorized genotyping over a packed per-record table (numpy interval
+    join; exact reference semantics including the 500-alignment cap counted
+    in coordinate order).
+
+    `table` needs ref_id/ref_start/ref_end/mapq columns and a names list —
+    a PackedAlignments batch or an io.bamstream.GenotypeTable."""
+    import numpy as np
+
+    id_of_name, per_tid = _genotype_index(table)
 
     num_candidates = len(candidates)
     for nr, candidate in enumerate(candidates):
