@@ -165,31 +165,75 @@ def stream_bam(path: str, min_mapq: int, batch_reads: int = 4096):
         max_ops = 1
         return batch
 
+    try:
+        from svim_tpu import native
+        carver = native.bam_carve_window if native.get_library() else None
+    except Exception:
+        carver = None
+
+    def roll_window():
+        """Carry trailing partial bytes into a fresh window; returns False at
+        end of stream."""
+        nonlocal buffer, position
+        carry = buffer[position:]
+        nxt = next_window()
+        if nxt is None:
+            if carry:
+                raise ValueError("truncated BAM record")
+            return False
+        buffer = carry + nxt
+        position = 0
+        return True
+
     while True:
+        if carver is not None:
+            carved = carver(buffer, position, min_mapq, batch_reads - len(rows))
+        else:
+            carved = None
+        if carved is not None:
+            columns, consumed, exhausted = carved
+            count = len(columns["ref_id"])
+            for k in range(count):
+                name_start = columns["name_off"][k]
+                sa_start = columns["sa_off"][k]
+                sa = (buffer[sa_start:sa_start + columns["sa_len"][k]].decode()
+                      if sa_start >= 0 else None)
+                rows.append((columns["ref_id"][k], columns["pos"][k],
+                             columns["mapq"][k], columns["flag"][k],
+                             buffer[name_start:name_start + columns["name_len"][k]].decode(),
+                             columns["cigar_off"][k], columns["n_cigar"][k],
+                             columns["seq_off"][k], columns["seq_len"][k], sa))
+                if columns["n_cigar"][k] > max_ops:
+                    max_ops = int(columns["n_cigar"][k])
+            position = consumed
+            if len(rows) >= batch_reads:
+                yield flush()
+                continue  # budget reset; keep carving this window
+            # under budget: the window is exhausted or ends in a partial
+            # record — emit what we have (rows reference this buffer) and roll
+            del count, exhausted
+            flushed = flush()
+            if flushed is not None:
+                yield flushed
+            if not roll_window():
+                return
+            continue
+
+        # ---- pure-Python fallback (no native library) -------------------------
         if position + 4 > len(buffer):
             flushed = flush()
             if flushed is not None:
                 yield flushed
-            carry = buffer[position:]
-            nxt = next_window()
-            if nxt is None:
-                if carry:
-                    raise ValueError("truncated BAM record")
+            if not roll_window():
                 return
-            buffer = carry + nxt
-            position = 0
             continue
         (block_size,) = struct.unpack_from("<i", buffer, position)
         if position + 4 + block_size > len(buffer):
             flushed = flush()
             if flushed is not None:
                 yield flushed
-            carry = buffer[position:]
-            nxt = next_window()
-            if nxt is None:
-                raise ValueError("truncated BAM record")
-            buffer = carry + nxt
-            position = 0
+            if not roll_window():
+                return
             continue
         record_offset = position + 4
         (ref_id, pos, l_read_name, mapq, _bin, n_cigar_op, flag, l_seq,

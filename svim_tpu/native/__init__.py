@@ -87,6 +87,11 @@ def get_library():
         lib.bam_count.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+        lib.bam_carve_window.restype = ctypes.c_int
+        lib.bam_carve_window.argtypes = (
+            [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+             ctypes.c_int64] + [ctypes.c_void_p] * 13
+            + [ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int)])
         lib.bam_fill.restype = ctypes.c_int
         lib.bam_fill.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
@@ -209,6 +214,49 @@ def poa_consensus_native(sequences, max_cells: int = POA_MAX_CELLS):
     if status != 0:
         return None
     return out.raw[:out_len.value].decode()
+
+
+def bam_carve_window(buffer: bytes, start: int, min_mapq: int, max_records: int):
+    """Carve filtered record descriptors from a decompressed window.
+
+    Returns (columns dict of numpy arrays sized to the record count,
+    consumed offset, exhausted flag) or None when the library is
+    unavailable."""
+    import numpy as np
+
+    lib = get_library()
+    if lib is None or max_records <= 0:
+        return None
+    columns = {
+        "rec_off": np.empty(max_records, dtype=np.int64),
+        "ref_id": np.empty(max_records, dtype=np.int32),
+        "pos": np.empty(max_records, dtype=np.int32),
+        "mapq": np.empty(max_records, dtype=np.int32),
+        "flag": np.empty(max_records, dtype=np.int32),
+        "name_off": np.empty(max_records, dtype=np.int64),
+        "name_len": np.empty(max_records, dtype=np.int32),
+        "cigar_off": np.empty(max_records, dtype=np.int64),
+        "n_cigar": np.empty(max_records, dtype=np.int32),
+        "seq_off": np.empty(max_records, dtype=np.int64),
+        "seq_len": np.empty(max_records, dtype=np.int32),
+        "sa_off": np.empty(max_records, dtype=np.int64),
+        "sa_len": np.empty(max_records, dtype=np.int32),
+    }
+
+    def ptr(array):
+        return array.ctypes.data_as(ctypes.c_void_p)
+
+    consumed = ctypes.c_int64(0)
+    exhausted = ctypes.c_int(0)
+    count = lib.bam_carve_window(
+        buffer, len(buffer), start, min_mapq, max_records,
+        ptr(columns["rec_off"]), ptr(columns["ref_id"]), ptr(columns["pos"]),
+        ptr(columns["mapq"]), ptr(columns["flag"]), ptr(columns["name_off"]),
+        ptr(columns["name_len"]), ptr(columns["cigar_off"]), ptr(columns["n_cigar"]),
+        ptr(columns["seq_off"]), ptr(columns["seq_len"]), ptr(columns["sa_off"]),
+        ptr(columns["sa_len"]), ctypes.byref(consumed), ctypes.byref(exhausted))
+    trimmed = {key: value[:count] for key, value in columns.items()}
+    return trimmed, consumed.value, bool(exhausted.value)
 
 
 def bgzf_decompress_parallel(data: bytes, n_threads: int = 0):

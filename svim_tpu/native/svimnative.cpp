@@ -254,6 +254,76 @@ int bam_fill(const uint8_t* data, int64_t size, int64_t body_offset,
   return 0;
 }
 
+// Carve records from a decompressed window for the streaming scanner.
+// Fills descriptor columns for records passing the COLLECT filter and
+// reports how many bytes were consumed (a trailing partial record stays for
+// the caller to carry into the next window).
+//
+// Outputs (caller-allocated, capacity `max_records`):
+//   rec_off: offset of the record body (after the block_size prefix)
+//   ref_id/pos/mapq/flag, name_off/name_len, cigar_off/n_cigar,
+//   seq_off/seq_len, sa_off/sa_len (SA value offset, -1 when absent)
+// Returns the number of records filled; *consumed is the byte offset after
+// the last fully-parsed record (filtered or not); *exhausted is 1 when the
+// window ended exactly on a record boundary.
+int bam_carve_window(const uint8_t* data, int64_t size, int64_t start,
+                     int min_mapq, int64_t max_records,
+                     int64_t* rec_off, int32_t* ref_id, int32_t* pos,
+                     int32_t* mapq_out, int32_t* flag_out,
+                     int64_t* name_off, int32_t* name_len,
+                     int64_t* cigar_off, int32_t* n_cigar_out,
+                     int64_t* seq_off, int32_t* seq_len,
+                     int64_t* sa_off, int32_t* sa_len,
+                     int64_t* consumed, int* exhausted) {
+  int64_t off = start;
+  int64_t n = 0;
+  while (true) {
+    if (off + 4 > size) break;
+    int32_t block = rd_i32(data + off);
+    if (off + 4 + block > size) break;
+    if (n >= max_records) break;
+    const uint8_t* r = data + off + 4;
+    uint8_t mapq = r[9];
+    uint16_t n_cigar = rd_u16(r + 12);
+    uint16_t flag = rd_u16(r + 14);
+    if ((flag & (kFUnmap | kFSecondary)) == 0 && mapq >= min_mapq) {
+      uint8_t l_read_name = r[8];
+      int32_t l_seq = rd_i32(data + off + 4 + 16);
+      rec_off[n] = off + 4;
+      ref_id[n] = rd_i32(data + off + 4);
+      pos[n] = rd_i32(data + off + 8);
+      mapq_out[n] = mapq;
+      flag_out[n] = flag;
+      int64_t p = off + 4 + 32;
+      name_off[n] = p;
+      name_len[n] = l_read_name - 1;
+      p += l_read_name;
+      cigar_off[n] = p;
+      n_cigar_out[n] = n_cigar;
+      p += 4 * (int64_t)n_cigar;
+      seq_off[n] = p;
+      seq_len[n] = l_seq;
+      p += (l_seq + 1) / 2 + l_seq;
+      int64_t sa = find_sa(data, p, off + 4 + block);
+      if (sa >= 0) {
+        int64_t nul = sa;
+        int64_t end = off + 4 + block;
+        while (nul < end && data[nul] != 0) nul++;
+        sa_off[n] = sa;
+        sa_len[n] = (int32_t)(nul - sa);
+      } else {
+        sa_off[n] = -1;
+        sa_len[n] = 0;
+      }
+      n++;
+    }
+    off += 4 + block;
+  }
+  *consumed = off;
+  *exhausted = (off >= size) ? 1 : 0;
+  return (int)n;
+}
+
 // ---------------------------------------------------------------------------
 // Two-piece affine global alignment (Gotoh), full traceback.
 // ---------------------------------------------------------------------------

@@ -109,3 +109,28 @@ def test_streaming_pipeline_parity(tmp_path):
 
     assert strip_date(wd_stream / "variants.vcf") == \
         strip_date(wd_oneshot / "variants.vcf")
+
+
+def test_native_carve_matches_python_fallback(tmp_path, default_options, monkeypatch):
+    """The native window carver and the pure-Python record walk produce
+    identical rows (names, coordinates, SA tags)."""
+    from svim_tpu import native
+    import svim_tpu.io.bamstream as bamstream
+
+    bam_path, _ = _make_bam(tmp_path, 200)
+
+    def rows():
+        stream = bamstream.stream_bam(bam_path, default_options.min_mapq, 64)
+        next(stream)
+        out = []
+        for batch in stream:
+            for row in range(batch.n_real):
+                out.append((int(batch.packed.ref_id[row]),
+                            int(batch.packed.ref_start[row]),
+                            batch.packed.names[row], batch.sa_tags[row]))
+        return out
+
+    native_rows = rows()
+    monkeypatch.setattr(native, "get_library", lambda: None)
+    fallback_rows = rows()
+    assert native_rows == fallback_rows and len(native_rows) > 0
