@@ -102,13 +102,18 @@ def _collect(options):
     with open(options.bam_file, "rb") as probe:
         is_bgzf = probe.read(2) == b"\x1f\x8b"
     if is_bgzf and options.device_backend != "host":
-        # array path: packed scanner + device kernels for coordinate-sorted BAM
-        from svim_tpu.collect.packed import collect_signatures_from_bam
-        from svim_tpu.io.packed_fetch import PackedAlignmentIndex
-        header, packed, sigs, trans = collect_signatures_from_bam(
-            options.bam_file, options)
-        sort_order = header.sort_order
-        if sort_order == "coordinate":
+        # cheap sort-order peek, then the packed scanner + device kernels for
+        # coordinate-sorted BAM
+        from svim_tpu.io.bamstream import peek_bam_header
+        try:
+            peeked_order = peek_bam_header(options.bam_file).sort_order
+        except (ValueError, OSError):
+            peeked_order = None
+        if peeked_order == "coordinate":
+            from svim_tpu.collect.packed import collect_signatures_from_bam
+            from svim_tpu.io.packed_fetch import PackedAlignmentIndex
+            header, packed, sigs, trans = collect_signatures_from_bam(
+                options.bam_file, options)
             logging.info("Using the packed array COLLECT path on {0}".format(
                 _device_description()))
             return PackedAlignmentIndex(packed, header), sigs, trans, options

@@ -105,6 +105,23 @@ class GenotypeTable:
         self.names = names
 
 
+def peek_bam_header(path: str):
+    """Decode just enough leading BGZF blocks to parse the header (cheap
+    sort-order dispatch without touching the record stream)."""
+    with open(path, "rb") as handle:
+        data = handle.read(8 * 1024 * 1024)
+    buffer = b""
+    for offset, bsize, _isize in scan_bgzf_blocks(data):
+        if offset + bsize > len(data):
+            break
+        buffer += gzip.decompress(bytes(data[offset:offset + bsize]))
+        end = _try_header_end(buffer)
+        if end is not None:
+            header, _ = _parse_header(buffer)
+            return header
+    raise ValueError("could not parse BAM header from the leading blocks")
+
+
 def stream_bam(path: str, min_mapq: int, batch_reads: int = 4096):
     """Yield the header, then StreamedBatch objects.
 
