@@ -37,3 +37,34 @@ def test_run_alignment_missing_tool(tmp_path):
     with pytest.raises(ToolMissingError):
         run_alignment(str(tmp_path), "genome.fa", "reads.fq", "fastq", 1,
                       "definitely-not-an-aligner", False)
+
+
+def test_reads_mode_with_cached_alignment(tmp_path, default_options):
+    """reads mode reuses an existing <prefix>.<aligner>.coordsorted.bam
+    (reference: SVIM_alignment.py:29,58-60), which lets the full reads-mode
+    dispatch run without external aligners."""
+    from unittest import mock
+
+    from svim_tpu.cli import main
+    from svim_tpu.io import bam as bamio
+
+    sam_path = _sam(tmp_path, n_reads=24)
+    af = AlignmentFile(sam_path)
+    workdir = tmp_path / "wd"
+    workdir.mkdir()
+    cached_bam = workdir / "reads.ngmlr.coordsorted.bam"
+    bamio.write_bam(str(cached_bam), af.header, list(af.fetch(until_eof=True)))
+    (workdir / "reads.ngmlr.coordsorted.bam.bai").write_bytes(b"")
+    reads_path = tmp_path / "reads.fq"
+    reads_path.write_text("@r\nACGT\n+\n!!!!\n")
+    genome_path = tmp_path / "g.fa"
+    genome_path.write_text(">chr1\n" + "ACGT" * 300000 + "\n")
+
+    # prerequisites probe would fail (no aligners in this image); the cache
+    # branch must not invoke the aligner itself
+    with mock.patch("svim_tpu.align.check_prerequisites"):
+        assert main(["reads", str(workdir), str(reads_path), str(genome_path),
+                     "--skip_genotyping", "--symbolic_alleles"]) == 0
+    body = [line for line in open(workdir / "variants.vcf")
+            if not line.startswith("#")]
+    assert len(body) == 24  # one DEL per simulated read (no shared loci)
