@@ -5,9 +5,15 @@ subsampling to 100 with random.seed(1524), same-read duplicate removal,
 average-linkage clustering cut at cluster_max_distance, consolidation to
 uni-/bi-local cluster records, and the support/deviation score.
 
-scipy's linkage/fcluster are kept as the dendrogram arbiter (they are also
-what the reference used, so ties break identically); the pairwise distance
-computation is the hot part and is what the TPU kernels accelerate.
+The default backend agglomerates partitions ON DEVICE in batched form
+(cluster/device_cluster.py): the kernel returns each partition's merge
+sequence, the host rebuilds a scipy-format Z from it and scipy's fcluster
+cuts it — so the flat-cluster numbering (and cluster order) is identical to
+the reference's.  Partitions where float32 cannot safely arbitrate a
+comparison that scipy performs in float64 (near-ties, near-threshold
+comparisons, surviving same-read walls) are flagged by the kernel and re-run
+through the exact scipy host path below, so results are bit-identical to the
+reference either way.  `--cluster_backend exact` forces the host path.
 """
 
 from __future__ import annotations
@@ -82,9 +88,11 @@ def clusters_from_partitions(partitions, reference, options):
         ed_cache = accel.precompute_ins_edit_distances(
             [s for s in samples if len(s) >= 2], reference, options)
 
-    # opt-in device clustering: span-position-only types in one batched pass
+    # device clustering (the default backend): all six types run as batched
+    # on-device agglomerations; per-partition float32 ambiguity flags route
+    # the rare unsafe partitions back through the exact host path below
     device_results = {}
-    if (getattr(options, "cluster_backend", "exact") == "device"
+    if (getattr(options, "cluster_backend", "device") != "exact"
             and partitions and partitions[0]):
         from svim_tpu.cluster.device_cluster import DEVICE_TYPES, cluster_partitions_device
         element_type = partitions[0][0].type
@@ -92,10 +100,11 @@ def clusters_from_partitions(partitions, reference, options):
             eligible = [(index, sample_list) for index, sample_list in enumerate(samples)
                         if 3 <= len(sample_list) <= 128]
             if eligible:
-                per_partition = cluster_partitions_device(
-                    [sample_list for _, sample_list in eligible], element_type, options)
-                device_results = {index: clusters for (index, _), clusters
-                                  in zip(eligible, per_partition)}
+                per_position = cluster_partitions_device(
+                    [sample_list for _, sample_list in eligible], element_type,
+                    reference, options, ed_cache=ed_cache)
+                device_results = {index: per_position[position]
+                                  for position, (index, _) in enumerate(eligible)}
 
     for partition_index, partition_sample in enumerate(samples):
         if len(partition_sample) == 1:
@@ -103,9 +112,13 @@ def clusters_from_partitions(partitions, reference, options):
             # reference reaches the same single cluster through the full path)
             clusters_final.append([partition_sample[0]])
             continue
-        if partition_index in device_results:
-            clusters_final.extend(device_results[partition_index])
+        device_result = device_results.get(partition_index)
+        if device_result is not None and device_result.clusters is not None:
+            duplicate_signatures += device_result.dropped_count
+            clusters_final.extend(device_result.clusters)
             continue
+        # device_result.clusters is None => float32 could not safely
+        # arbitrate this partition; run the exact float64 host path
         element_type = partition_sample[0].type
         assert element_type in ("DEL", "DUP_TAN", "INV", "INS", "DUP_INT", "BND")
 
@@ -315,15 +328,34 @@ def partition_and_cluster_candidates(candidates, options, type):
     clusters = []
     large_partitions = 0
     seed(RANDOM_SEED)
+    partition_samples = []
     for partition in partitions:
-        if len(partition) == 1:
-            clusters.append([partition[0]])
-            continue
         if len(partition) > MAX_PARTITION_SIZE:
-            partition_sample = sample(partition, MAX_PARTITION_SIZE)
+            partition_samples.append(sample(partition, MAX_PARTITION_SIZE))
             large_partitions += 1
         else:
-            partition_sample = partition
+            partition_samples.append(partition)
+
+    device_results = {}
+    if getattr(options, "cluster_backend", "device") != "exact":
+        from svim_tpu.cluster.device_cluster import cluster_candidates_device
+        eligible = [(index, partition_sample) for index, partition_sample
+                    in enumerate(partition_samples)
+                    if 3 <= len(partition_sample) <= 128]
+        if eligible:
+            per_position = cluster_candidates_device(
+                [partition_sample for _, partition_sample in eligible], options)
+            device_results = {index: per_position[position]
+                              for position, (index, _) in enumerate(eligible)}
+
+    for partition_index, partition_sample in enumerate(partition_samples):
+        if len(partition_sample) == 1:
+            clusters.append([partition_sample[0]])
+            continue
+        device_result = device_results.get(partition_index)
+        if device_result is not None and device_result.clusters is not None:
+            clusters.extend(device_result.clusters)
+            continue
         # candidate-level DUP_INT distance == the signature-level formula
         # (SVIM_clustering.py:110-119), so the vectorized matrix applies
         matrix = accel.distance_matrix(partition_sample, "DUP_INT", None, options)

@@ -1,100 +1,266 @@
-"""Opt-in device clustering: batched distance matrices + on-device linkage.
+"""Device clustering: batched on-device agglomeration with exact host parity.
 
-`--cluster_backend device` routes DEL/INV/DUP_TAN partitions (span-position
-distance only; no edit distance, no direction walls) through one batched
-device pass: (B, 128) padded partitions -> (B, 128, 128) float32 distance
-matrices -> same-read dedup on the fetched matrices -> batched agglomerative
-average linkage cut at the threshold (ops.linkage_kernel).
+The default CLUSTER backend.  Partitions of 3..128 signatures are batched
+into padded arrays and agglomerated on device (ops.linkage_kernel); the host
+reconstructs a scipy-format Z from each returned merge sequence and calls
+scipy's fcluster on it, which reproduces the reference's flat-cluster
+numbering (and therefore cluster ORDER) exactly — see ops/linkage_kernel.py.
 
-The default backend stays the exact host path: device distances are float32,
-so dendrogram ties could in principle resolve differently than the
-reference's float64 scipy.  On tie-free data the groupings are identical
-(tests/test_device_cluster.py).
+Exactness: the device computes in float32 while the reference (scipy) uses
+float64.  Every comparison the dendrogram depends on is guarded: the kernel
+reports the minimum relative gap between the best and second-best pair over
+all merge steps, near-threshold dedup comparisons, and surviving same-read
+walls; any partition where float32 could arbitrate differently than float64
+returns None and the caller re-runs it on the exact host path
+(cluster/cluster.py).  On tie-free data no fallback occurs and results are
+bit-identical to the reference (scipy linkage+fcluster over float64 —
+SVIM_clustering.py:159-171).
+
+Two routes:
+  * fused (DEL / INV / DUP_TAN): coordinates ship to the device; distance
+    matrix, same-read dedup (SVIM_clustering.py:145-151) and agglomeration
+    all happen in one batched call.
+  * matrix (INS / DUP_INT / BND and the DUP_INT candidate round): the exact
+    float64 matrix is built on host (cluster/accel.py — edit distances,
+    destination terms, direction walls), dedup happens on host in float64,
+    and the device performs the agglomeration.  Partitions whose surviving
+    matrix contains a 99999 wall (same-read survivors, BND direction
+    mismatches) fall back to host.
 """
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 import numpy as np
+from scipy.cluster.hierarchy import fcluster
 
-from svim_tpu.cluster.accel import read_index_array
-from svim_tpu.ops.distance_kernel import span_position_matrix
-from svim_tpu.ops.linkage_kernel import average_linkage_labels_batched
+from svim_tpu.cluster import accel
+from svim_tpu.cluster.distance import SAME_READ_WALL
+from svim_tpu.ops.linkage_kernel import (
+    MERGE_CUTOFF,
+    TIE_EPS,
+    agglomerate_batched,
+    span_position_agglomerate_batched,
+)
 
-PARTITION_PAD = 128
-DEVICE_TYPES = ("DEL", "INV", "DUP_TAN")
+FUSED_TYPES = ("DEL", "INV", "DUP_TAN")
+MATRIX_TYPES = ("INS", "DUP_INT", "BND")
+DEVICE_TYPES = FUSED_TYPES + MATRIX_TYPES
+PARTITION_BUCKETS = (32, 128)
 
 
-def cluster_partitions_device(samples: List[list], element_type: str, options):
+def _bucket(n: int) -> int:
+    for bucket in PARTITION_BUCKETS:
+        if n <= bucket:
+            return bucket
+    raise ValueError("partition of {0} exceeds the device pad".format(n))
+
+
+def _round_up_pow2(value: int, floor: int = 8) -> int:
+    result = floor
+    while result < value:
+        result *= 2
+    return result
+
+
+def labels_from_merges(merge_lo, merge_hi, heights, n_survivors: int,
+                       threshold: float,
+                       slot_rank=None) -> Optional[np.ndarray]:
+    """Reconstruct scipy's linkage matrix Z from a kernel merge sequence and
+    cut it with scipy's fcluster — identical flat-cluster numbering to the
+    host path.  `slot_rank` maps kernel slot indices to survivor ranks
+    (identity when the matrix was pre-compacted).  Returns None when a merge
+    height sits too close to the cut threshold for float32 to arbitrate
+    (caller falls back to host)."""
+    m = n_survivors
+    if m == 1:
+        return np.ones(1, dtype=np.int64)
+    ids = {}
+    sizes = {}
+    z = np.zeros((m - 1, 4), dtype=np.float64)
+    rows = 0
+    for k in range(len(heights)):
+        height = float(heights[k])
+        if height >= MERGE_CUTOFF:
+            break
+        if abs(height - threshold) < TIE_EPS * max(height, 1.0):
+            return None
+        a = int(merge_lo[k])
+        b = int(merge_hi[k])
+        id_a = ids.get(a, slot_rank[a] if slot_rank is not None else a)
+        id_b = ids.get(b, slot_rank[b] if slot_rank is not None else b)
+        size_a = sizes.get(a, 1)
+        size_b = sizes.get(b, 1)
+        z[rows, 0] = min(id_a, id_b)
+        z[rows, 1] = max(id_a, id_b)
+        z[rows, 2] = height
+        z[rows, 3] = size_a + size_b
+        ids[a] = m + rows
+        sizes[a] = size_a + size_b
+        rows += 1
+    if rows != m - 1:
+        return None
+    return fcluster(z, threshold, criterion="distance")
+
+
+def _group_survivors(survivors, labels):
+    """Group surviving elements by fcluster label (same regrouping as the
+    host path's _group_by_labels)."""
+    groups = [[] for _ in range(int(max(labels)))]
+    for element, label in zip(survivors, labels):
+        groups[int(label) - 1].append(element)
+    return groups
+
+
+class DeviceClusterResult:
+    """Per-partition outcome of a batched device pass."""
+
+    __slots__ = ("clusters", "dropped_count")
+
+    def __init__(self, clusters, dropped_count):
+        self.clusters = clusters          # list of clusters, or None => fallback
+        self.dropped_count = dropped_count
+
+
+def _fused_route(samples, element_type, options):
+    """DEL / INV / DUP_TAN: coordinates -> device matrix+dedup+agglomerate."""
+    wall_same_read = element_type != "INV"
+    threshold = float(options.cluster_max_distance)
+    by_bucket = {}
+    for index, sample in enumerate(samples):
+        by_bucket.setdefault(_bucket(len(sample)), []).append(index)
+
+    results = {}
+    for pad, indices in sorted(by_bucket.items()):
+        batch = _round_up_pow2(len(indices))
+        starts = np.zeros((batch, pad), dtype=np.int32)
+        ends = np.zeros((batch, pad), dtype=np.int32)
+        reads = np.full((batch, pad), -1, dtype=np.int32)
+        valid = np.zeros((batch, pad), dtype=bool)
+        for row, index in enumerate(indices):
+            sample = samples[index]
+            n = len(sample)
+            starts[row, :n] = [e.get_source()[1] for e in sample]
+            ends[row, :n] = [e.get_source()[2] for e in sample]
+            # distinct negative ids per padded slot would still compare equal
+            # across rows of padding; keep padding invalid instead
+            reads[row, :n] = accel.read_index_array(sample)
+            valid[row, :n] = True
+        (merges_lo, merges_hi, heights, min_gap, dropped, has_wall,
+         dedup_ambiguous) = (np.asarray(part) for part in
+                             span_position_agglomerate_batched(
+                                 starts, ends, reads, valid,
+                                 np.float32(options.position_distance_normalizer),
+                                 np.float32(threshold), wall_same_read))
+        for row, index in enumerate(indices):
+            sample = samples[index]
+            n = len(sample)
+            if bool(has_wall[row]) or bool(dedup_ambiguous[row]) \
+                    or float(min_gap[row]) < TIE_EPS:
+                results[index] = DeviceClusterResult(None, 0)
+                continue
+            drop_mask = dropped[row, :n]
+            survivors = [sample[i] for i in range(n) if not drop_mask[i]]
+            # kernel merges reference slot indices; scipy ids need survivor
+            # ranks (dropped slots leave gaps in the fused route)
+            slot_rank = np.cumsum(~dropped[row]) - 1
+            labels = labels_from_merges(merges_lo[row], merges_hi[row],
+                                        heights[row], len(survivors), threshold,
+                                        slot_rank=slot_rank)
+            if labels is None:
+                results[index] = DeviceClusterResult(None, 0)
+                continue
+            results[index] = DeviceClusterResult(
+                _group_survivors(survivors, labels), int(drop_mask.sum()))
+    return results
+
+
+def _matrix_route(samples, element_type, reference, options, ed_cache,
+                  dedup_same_read=True):
+    """INS / DUP_INT / BND (and the candidate round): host float64 matrix +
+    exact dedup, device agglomeration."""
+    threshold = float(options.cluster_max_distance)
+    prepared = []   # (index, survivors, matrix_f32, dropped_count) per partition
+    fallback = {}
+    for index, sample in enumerate(samples):
+        matrix = accel.distance_matrix(sample, element_type, reference,
+                                       options, ed_cache=ed_cache)
+        dropped_count = 0
+        survivors = sample
+        if dedup_same_read:
+            reads = accel.read_index_array(sample)
+            drop = accel.dedup_same_read(matrix, reads, threshold)
+            dropped_count = len(drop)
+            if drop:
+                keep = [i for i in range(len(sample)) if i not in drop]
+                survivors = [sample[i] for i in keep]
+                matrix = matrix[np.ix_(keep, keep)]
+                reads = reads[keep]
+            if len(survivors) > 1:
+                same = reads[:, None] == reads[None, :]
+                np.fill_diagonal(same, False)
+                if same.any():
+                    fallback[index] = DeviceClusterResult(None, 0)
+                    continue
+        if len(survivors) == 1:
+            fallback[index] = DeviceClusterResult([[survivors[0]]], dropped_count)
+            continue
+        off_diagonal = ~np.eye(len(survivors), dtype=bool)
+        if (matrix[off_diagonal] >= SAME_READ_WALL).any():
+            # direction walls (BND) participate in above-cut averages that
+            # float32 cannot order safely — host arbitrates those partitions
+            fallback[index] = DeviceClusterResult(None, 0)
+            continue
+        prepared.append((index, survivors, matrix.astype(np.float32),
+                         dropped_count))
+
+    results = dict(fallback)
+    by_bucket = {}
+    for position, (index, survivors, matrix, dropped_count) in enumerate(prepared):
+        by_bucket.setdefault(_bucket(len(survivors)), []).append(position)
+    for pad, positions in sorted(by_bucket.items()):
+        batch = _round_up_pow2(len(positions))
+        matrices = np.full((batch, pad, pad), 3.0e38, dtype=np.float32)
+        valid = np.zeros((batch, pad), dtype=bool)
+        for row, position in enumerate(positions):
+            _, survivors, matrix, _ = prepared[position]
+            n = len(survivors)
+            matrices[row, :n, :n] = matrix
+            valid[row, :n] = True
+        merges_lo, merges_hi, heights, min_gap = (
+            np.asarray(part) for part in agglomerate_batched(matrices, valid))
+        for row, position in enumerate(positions):
+            index, survivors, _, dropped_count = prepared[position]
+            if float(min_gap[row]) < TIE_EPS:
+                results[index] = DeviceClusterResult(None, 0)
+                continue
+            labels = labels_from_merges(merges_lo[row], merges_hi[row],
+                                        heights[row], len(survivors), threshold)
+            if labels is None:
+                results[index] = DeviceClusterResult(None, 0)
+                continue
+            results[index] = DeviceClusterResult(
+                _group_survivors(survivors, labels), dropped_count)
+    return results
+
+
+def cluster_partitions_device(samples: List[list], element_type: str,
+                              reference, options, ed_cache=None):
     """Cluster same-type partitions (each 3..128 elements) on device.
 
-    Returns one list of clusters per input partition (cluster order inside a
-    partition follows first occurrence)."""
-    batch = len(samples)
-    starts = np.zeros((batch, PARTITION_PAD), dtype=np.int32)
-    ends = np.zeros((batch, PARTITION_PAD), dtype=np.int32)
-    reads = np.zeros((batch, PARTITION_PAD), dtype=np.int32)
-    valid = np.zeros((batch, PARTITION_PAD), dtype=bool)
-    for b, sample in enumerate(samples):
-        n = len(sample)
-        starts[b, :n] = [e.get_source()[1] for e in sample]
-        ends[b, :n] = [e.get_source()[2] for e in sample]
-        reads[b, :n] = read_index_array(sample)
-        valid[b, :n] = True
+    Returns {index: DeviceClusterResult}; a result with clusters=None means
+    float32 could not safely arbitrate that partition and the caller must
+    re-run it through the exact host path."""
+    if element_type in FUSED_TYPES:
+        return _fused_route(samples, element_type, options)
+    if element_type in MATRIX_TYPES:
+        return _matrix_route(samples, element_type, reference, options, ed_cache)
+    raise ValueError("unknown signature type {0}".format(element_type))
 
-    wall_same_read = element_type != "INV"
-    # raw distances (no wall): dedup needs true same-read pair values
-    matrices = np.asarray(span_position_matrix(
-        starts, ends, reads, valid,
-        np.float32(options.position_distance_normalizer),
-        wall_same_read=False))
 
-    # same-read dedup on the fetched matrices (reference rule:
-    # SVIM_clustering.py:145-151), then re-pad the survivors
-    survivors: List[list] = []
-    kept_matrices = np.full((batch, PARTITION_PAD, PARTITION_PAD), 3.0e38,
-                            dtype=np.float32)
-    kept_valid = np.zeros((batch, PARTITION_PAD), dtype=bool)
-    for b, sample in enumerate(samples):
-        n = len(sample)
-        keep = list(range(n))
-        if wall_same_read:
-            drop = set()
-            for j in range(1, n):
-                for i in range(j):
-                    if (reads[b, i] == reads[b, j]
-                            and matrices[b, i, j] <= options.cluster_max_distance):
-                        drop.add(j)
-                        break
-            keep = [i for i in range(n) if i not in drop]
-        kept = [sample[i] for i in keep]
-        survivors.append(kept)
-        index = np.asarray(keep, dtype=np.int64)
-        block = matrices[b][np.ix_(index, index)].copy()
-        if wall_same_read:
-            block_reads = reads[b][index]
-            same = block_reads[:, None] == block_reads[None, :]
-            np.fill_diagonal(same, False)
-            block[same] = 99999.0
-        kept_matrices[b, :len(keep), :len(keep)] = block
-        kept_valid[b, :len(keep)] = True
-
-    labels = np.asarray(average_linkage_labels_batched(
-        kept_matrices, kept_valid, np.float32(options.cluster_max_distance)))
-
-    per_partition: List[List[list]] = []
-    for b, kept in enumerate(survivors):
-        if len(kept) == 1:
-            per_partition.append([[kept[0]]])
-            continue
-        groups = {}
-        order = []
-        for position, element in enumerate(kept):
-            label = int(labels[b, position])
-            if label not in groups:
-                groups[label] = []
-                order.append(label)
-            groups[label].append(element)
-        per_partition.append([groups[label] for label in order])
-    return per_partition
+def cluster_candidates_device(samples: List[list], options):
+    """Device agglomeration for the second DUP_INT candidate round
+    (reference: SVIM_clustering.py:306-372 — no dedup, no walls)."""
+    return _matrix_route(samples, "DUP_INT", None, options, None,
+                         dedup_same_read=False)

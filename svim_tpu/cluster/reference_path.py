@@ -7,7 +7,8 @@ scalar same-read dedup, scipy linkage.  It exists for two reasons:
 1. benchmark baseline — "vs single-core SVIM" means against THIS cost model,
    not against our vectorized host path;
 2. cluster-level differential oracle — production clustering must produce
-   identical clusters (tests/test_cluster_reference.py).
+   identical clusters (tests/test_large_partitions.py pins the RNG parity and
+   cluster equality against this path).
 """
 
 from __future__ import annotations

@@ -79,7 +79,8 @@ class Config:
     # svim-tpu specific execution knobs (new capability; no reference analog)
     device_backend: str = "auto"       # "auto" | "tpu" | "cpu" | "host" (no kernels)
     edit_backend: str = "auto"         # "auto" | "wavefront" | "python"
-    cluster_backend: str = "exact"     # "exact" | "device" (f32 distances + on-device linkage)
+    cluster_backend: str = "device"    # "device" (on-device agglomeration, exact
+                                       # fallback for f32-ambiguous partitions) | "exact"
     num_shards: int = 1                # data-parallel read shards over the mesh
     batch_reads: int = 4096            # reads per packed device batch
     stream_input: bool = False         # force the bounded-memory streaming scanner
@@ -171,10 +172,12 @@ def _add_common_options(parser: argparse.ArgumentParser) -> None:
                                 "(wavefront), or pure Python (default: %(default)s).")
     execution.add_argument("--cluster_backend", type=str, default=d.cluster_backend,
                            choices=("exact", "device"),
-                           help="Clustering backend for span-position-only SV types: "
-                                "'exact' (host float64, reference-identical ties) or "
-                                "'device' (batched float32 distance matrices + on-device "
-                                "average linkage) (default: %(default)s).")
+                           help="Clustering backend: 'device' (batched on-device "
+                                "agglomeration for all SV types; partitions where "
+                                "float32 cannot arbitrate a tie fall back to the exact "
+                                "host path, so results match 'exact' bit-for-bit) or "
+                                "'exact' (host float64 scipy only) "
+                                "(default: %(default)s).")
     execution.add_argument("--num_shards", type=int, default=d.num_shards,
                            help="Number of data-parallel read shards across the device mesh (default: %(default)s).")
     execution.add_argument("--batch_reads", type=int, default=d.batch_reads,

@@ -5,9 +5,10 @@ minimum_score, fetch alignments in a +-1000 bp window (capped at 500),
 count reads that span the locus with margin as reference support, derive
 VAF and the 1/1 / 0/1 / 0/0 / ./. genotype.
 
-The host path below reproduces the per-candidate loop; the array path
-(svim_tpu.ops.genotype_kernel) computes all candidates at once as a
-vectorized interval join over the packed alignment table.
+The host path below reproduces the per-candidate loop; genotype_packed()
+computes all candidates over a packed per-record table via a vectorized
+interval join (numpy), and svim_tpu.ops.genotype_kernel provides the batched
+on-device version used by the sharded pipeline.
 """
 
 from __future__ import annotations
@@ -68,20 +69,35 @@ def _assign_genotype(candidate, alt_support, ref_support, options):
 
 _genotype_index_cache = {}
 
+_FUNMAP = 0x4
+_FSECONDARY = 0x100
 
-def _genotype_index(table):
+
+def _genotype_index(table, min_mapq):
     """Name-id column + per-contig coordinate index for a packed table,
-    memoized per table object (built once, reused across the four per-type
-    genotyping calls)."""
+    memoized per (table object, min_mapq) — built once, reused across the
+    four per-type genotyping calls.
+
+    The reference only counts alignments with mapq >= min_mapq that are
+    mapped and not secondary (SVIM_genotyping.py:58-66).  GenotypeTable rows
+    are prefiltered at scan time (io/bamstream.py), but a PackedAlignments
+    batch may carry unfiltered rows — the filter is re-applied here from the
+    mapq (and, when present, flag) columns so correctness never depends on
+    the producer."""
     import numpy as np
 
-    cached = _genotype_index_cache.get(id(table))
+    cached = _genotype_index_cache.get((id(table), min_mapq))
     if cached is not None and cached[0] is table:
         return cached[1], cached[2]
 
     ref_id = np.asarray(table.ref_id)
     starts_all = np.asarray(table.ref_start, dtype=np.int64)
     ends_all = np.asarray(table.ref_end, dtype=np.int64)
+    mapq_all = np.asarray(table.mapq)
+    eligible = mapq_all >= min_mapq
+    flags = getattr(table, "flag", None)
+    if flags is not None:
+        eligible &= (np.asarray(flags) & (_FUNMAP | _FSECONDARY)) == 0
     name_ids = np.empty(len(ref_id), dtype=np.int64)
     id_of_name = {}
     names = table.names
@@ -91,7 +107,7 @@ def _genotype_index(table):
     for tid in np.unique(ref_id):
         if tid < 0:
             continue
-        rows = np.nonzero(ref_id == tid)[0]
+        rows = np.nonzero((ref_id == tid) & eligible)[0]
         order = np.lexsort((rows, starts_all[rows]))
         rows = rows[order]
         spans = ends_all[rows] - starts_all[rows]
@@ -100,7 +116,7 @@ def _genotype_index(table):
                              max_span)
     # keep only the latest table to avoid unbounded growth
     _genotype_index_cache.clear()
-    _genotype_index_cache[id(table)] = (table, id_of_name, per_tid)
+    _genotype_index_cache[(id(table), min_mapq)] = (table, id_of_name, per_tid)
     return id_of_name, per_tid
 
 
@@ -113,7 +129,7 @@ def genotype_packed(candidates, table, header, type, options):
     a PackedAlignments batch or an io.bamstream.GenotypeTable."""
     import numpy as np
 
-    id_of_name, per_tid = _genotype_index(table)
+    id_of_name, per_tid = _genotype_index(table, options.min_mapq)
 
     num_candidates = len(candidates)
     for nr, candidate in enumerate(candidates):

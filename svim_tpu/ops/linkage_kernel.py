@@ -1,4 +1,4 @@
-"""On-device average-linkage flat clustering over padded partitions.
+"""On-device average-linkage agglomeration over padded partitions.
 
 Device counterpart of scipy's linkage+fcluster as used by CLUSTER
 (reference: SVIM_clustering.py:170-171) and of the host implementation in
@@ -7,9 +7,28 @@ svim_tpu.cluster.linkage.  Each partition is a fixed (P, P) distance matrix
 fits one VMEM tile: P-1 masked argmin+update steps under fori_loop, batched
 over partitions with vmap.
 
-Average linkage is monotone, so merging stops (becomes a no-op) once the
-global minimum exceeds the cut threshold; the surviving representatives are
-the flat clusters at that threshold.
+Two levels of API:
+
+* `agglomerate_batched(distances, valid)` — runs the FULL dendrogram and
+  returns the merge sequence (slot pairs + heights) plus a minimum relative
+  tie gap.  The host reconstructs a scipy-format Z from the merges and calls
+  scipy's fcluster on it, which reproduces the reference's flat-cluster
+  NUMBERING exactly (naive global-argmin agglomeration produces the same Z
+  as scipy's nn-chain when heights are distinct; the gap diagnostic flags
+  partitions where float32 could order merges differently than scipy's
+  float64, and those fall back to the host path).
+
+* `span_position_agglomerate_batched(...)` — fused path for the pure
+  span-position types (DEL / INV / DUP_TAN): builds the distance matrix
+  on device from coordinates (contract: SVIM_clustering.py:48-63), applies
+  the reference's same-read dedup rule (SVIM_clustering.py:145-151), then
+  agglomerates.  Partitions where a same-read pair SURVIVES dedup carry a
+  99999 wall into linkage; wall-diluted averages are large enough that
+  float32 cannot arbitrate their order safely, so those partitions are
+  flagged (`has_wall`) for host fallback instead.
+
+* `average_linkage_labels_batched` — legacy flat-label variant (stops
+  merging at the threshold); kept for the mesh demo step and tests.
 """
 
 from __future__ import annotations
@@ -20,6 +39,150 @@ import jax
 import jax.numpy as jnp
 
 BIG = jnp.float32(3.0e38)
+# merges with height >= CUTOFF are padding (no real pair left)
+MERGE_CUTOFF = 1.0e30
+# relative gap below which float32 cannot safely arbitrate a comparison that
+# scipy performs in float64 (worst-case accumulated f32 error through a
+# 127-deep chain of weighted averages is ~3.5e-5 relative; 3e-4 gives ~10x
+# margin and sits below the 1/900 position-distance quantum)
+TIE_EPS = 3.0e-4
+
+
+def _agglomerate_one(d):
+    """(P, P) float32 distance matrix (BIG on the diagonal / invalid slots)
+    -> (merge_lo, merge_hi, heights, min_rel_gap).
+
+    Runs P-1 argmin+average-update steps; steps whose global minimum is
+    >= MERGE_CUTOFF emit (-1, -1, BIG) padding rows.  min_rel_gap is the
+    smallest (second_best - best) / max(best, 1) seen over real merge steps
+    — 0 for an exact tie; small when float32 rounding could reorder merges.
+    """
+    p = d.shape[0]
+    index = jnp.arange(p, dtype=jnp.int32)
+    eye = jnp.eye(p, dtype=bool)
+    sizes = jnp.where(d[0] < 0, 0.0, 1.0)  # placeholder, replaced below
+
+    def body(step, carry):
+        d, sizes, merges_lo, merges_hi, heights, min_gap = carry
+        flat = jnp.argmin(d)
+        i = (flat // p).astype(jnp.int32)
+        j = (flat % p).astype(jnp.int32)
+        lo = jnp.minimum(i, j)
+        hi = jnp.maximum(i, j)
+        best = d[lo, hi]
+        real = best < MERGE_CUTOFF
+
+        # runner-up over every other pair (the symmetric twin of (lo, hi) is
+        # masked out); an exact tie elsewhere gives gap 0
+        pair_mask = ((index == lo)[:, None] & (index == hi)[None, :]) | (
+            (index == hi)[:, None] & (index == lo)[None, :])
+        second = jnp.min(jnp.where(pair_mask, BIG, d))
+        gap = (second - best) / jnp.maximum(best, 1.0)
+        min_gap = jnp.where(real & (second < MERGE_CUTOFF),
+                            jnp.minimum(min_gap, gap), min_gap)
+
+        size_lo = sizes[lo]
+        size_hi = sizes[hi]
+        merged_row = (size_lo * d[lo, :] + size_hi * d[hi, :]) / (size_lo + size_hi)
+        keep_big = (d[lo, :] >= MERGE_CUTOFF) | (d[hi, :] >= MERGE_CUTOFF)
+        merged_row = jnp.where(keep_big, BIG, merged_row)
+
+        new_d = d.at[lo, :].set(jnp.where(real, merged_row, d[lo, :]))
+        new_d = new_d.at[:, lo].set(jnp.where(real, merged_row, d[:, lo]))
+        row_mask = (index == hi)[:, None] | (index == hi)[None, :] | eye
+        new_d = jnp.where(real & row_mask, BIG, new_d)
+
+        new_sizes = sizes.at[lo].set(jnp.where(real, size_lo + size_hi, size_lo))
+        new_sizes = new_sizes.at[hi].set(jnp.where(real, 0.0, size_hi))
+        merges_lo = merges_lo.at[step].set(jnp.where(real, lo, -1))
+        merges_hi = merges_hi.at[step].set(jnp.where(real, hi, -1))
+        heights = heights.at[step].set(jnp.where(real, best, BIG))
+        return new_d, new_sizes, merges_lo, merges_hi, heights, min_gap
+
+    valid = jnp.any(d < MERGE_CUTOFF, axis=1) | jnp.any(d.T < MERGE_CUTOFF, axis=1)
+    sizes = valid.astype(jnp.float32)
+    init = (d, sizes,
+            jnp.full((p - 1,), -1, dtype=jnp.int32),
+            jnp.full((p - 1,), -1, dtype=jnp.int32),
+            jnp.full((p - 1,), BIG, dtype=jnp.float32),
+            BIG)
+    _, _, merges_lo, merges_hi, heights, min_gap = jax.lax.fori_loop(
+        0, p - 1, body, init)
+    return merges_lo, merges_hi, heights, min_gap
+
+
+@jax.jit
+def agglomerate_batched(distances, valid):
+    """(B, P, P) float32 distances + (B, P) bool valid -> per-partition merge
+    sequences (merge_lo, merge_hi, heights: (B, P-1)) and min relative tie
+    gap (B,).  Invalid slots never participate."""
+    pair_valid = valid[:, :, None] & valid[:, None, :]
+    eye = jnp.eye(distances.shape[1], dtype=bool)[None]
+    d = jnp.where(pair_valid & ~eye, distances.astype(jnp.float32), BIG)
+    return jax.vmap(_agglomerate_one)(d)
+
+
+# --- fused span-position path (DEL / INV / DUP_TAN) ---------------------------
+
+WALL = jnp.float32(99999.0)
+
+
+def _span_position_fused_one(starts, ends, reads, valid, norm, threshold,
+                             wall_same_read):
+    """One partition: device distance matrix + dedup + agglomeration.
+
+    Returns (merges_lo, merges_hi, heights, min_gap, dropped, has_wall,
+    dedup_ambiguous)."""
+    p = starts.shape[0]
+    centers = (starts + ends) // 2
+    spans = ends - starts
+    delta_center = jnp.abs(centers[:, None] - centers[None, :])
+    delta_span = jnp.abs(spans[:, None] - spans[None, :])
+    max_span = jnp.maximum(jnp.maximum(spans[:, None], spans[None, :]), 1)
+    distance = (delta_center.astype(jnp.float32) / norm
+                + delta_span.astype(jnp.float32) / max_span.astype(jnp.float32))
+
+    eye = jnp.eye(p, dtype=bool)
+    pair_valid = valid[:, None] & valid[None, :] & ~eye
+    same_read = (reads[:, None] == reads[None, :]) & pair_valid
+
+    if wall_same_read:
+        # reference dedup rule (SVIM_clustering.py:145-151): drop j when some
+        # i < j from the same read is within the cut threshold
+        row_lt = jax.lax.broadcasted_iota(jnp.int32, (p, p), 0) < \
+            jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
+        close = distance <= threshold
+        dropped = jnp.any(same_read & close & row_lt, axis=0)
+        # float32 cannot arbitrate a dedup comparison this close to the cut
+        near_cut = jnp.abs(distance - threshold) < TIE_EPS * jnp.maximum(distance, 1.0)
+        dedup_ambiguous = jnp.any(same_read & near_cut)
+        alive = valid & ~dropped
+        pair_alive = alive[:, None] & alive[None, :] & ~eye
+        surviving_same_read = same_read & pair_alive
+        has_wall = jnp.any(surviving_same_read)
+        d = jnp.where(surviving_same_read, WALL, distance)
+        d = jnp.where(pair_alive, d, BIG)
+    else:
+        dropped = jnp.zeros((p,), dtype=bool)
+        dedup_ambiguous = jnp.bool_(False)
+        has_wall = jnp.bool_(False)
+        d = jnp.where(pair_valid, distance, BIG)
+
+    merges_lo, merges_hi, heights, min_gap = _agglomerate_one(d)
+    return merges_lo, merges_hi, heights, min_gap, dropped, has_wall, dedup_ambiguous
+
+
+@partial(jax.jit, static_argnames=("wall_same_read",))
+def span_position_agglomerate_batched(starts, ends, reads, valid, norm,
+                                      threshold, wall_same_read=True):
+    """(B, P) int32 coordinate batch -> per-partition merge sequences plus
+    dedup/diagnostic outputs (see _span_position_fused_one)."""
+    return jax.vmap(_span_position_fused_one,
+                    in_axes=(0, 0, 0, 0, None, None, None))(
+        starts, ends, reads, valid, norm, threshold, wall_same_read)
+
+
+# --- legacy flat-label variant (mesh demo / tests) ----------------------------
 
 
 def _cluster_one(distance, valid, threshold):

@@ -67,3 +67,33 @@ def test_genotype_packed_matches_loop(tmp_path, default_options):
         assert fast_candidate.ref_reads == loop_candidate.ref_reads
         assert fast_candidate.alt_reads == loop_candidate.alt_reads
         assert fast_candidate.support_fraction == loop_candidate.support_fraction
+
+
+def test_genotype_packed_filters_unfiltered_table(tmp_path, default_options):
+    """A PackedAlignments batch that was NOT prefiltered (min_mapq=0 at scan
+    time) must still genotype identically: genotype_packed re-applies the
+    mapq/unmapped/secondary filter from the table columns."""
+    bam_path, del_candidates, ins_candidate = _make_inputs(tmp_path)
+
+    import copy
+    loop_dels = copy.deepcopy(del_candidates)
+    loop_ins = copy.deepcopy(ins_candidate)
+    bam = AlignmentFile(bam_path)
+    genotype(loop_dels, bam, "DEL", default_options)
+    genotype([loop_ins], bam, "INS", default_options)
+
+    # scan WITHOUT the mapq filter: the workload has mapq 10 rows that the
+    # reference loop skips (min_mapq default 20)
+    header, packed, sa_tags = scan_bam(bam_path, 0)
+    from svim_tpu.collect.packed import _run_collect_scan
+    _run_collect_scan(packed, default_options)
+    assert (packed.mapq < default_options.min_mapq).any()
+    genotype_packed(del_candidates, packed, header, "DEL", default_options)
+    genotype_packed([ins_candidate], packed, header, "INS", default_options)
+
+    for loop_candidate, fast_candidate in zip(loop_dels + [loop_ins],
+                                              del_candidates + [ins_candidate]):
+        assert fast_candidate.genotype == loop_candidate.genotype
+        assert fast_candidate.ref_reads == loop_candidate.ref_reads
+        assert fast_candidate.alt_reads == loop_candidate.alt_reads
+        assert fast_candidate.support_fraction == loop_candidate.support_fraction
