@@ -147,6 +147,13 @@ def _fused_route(samples, element_type, options):
             # across rows of padding; keep padding invalid instead
             reads[row, :n] = accel.read_index_array(sample)
             valid[row, :n] = True
+        num_shards = getattr(options, "num_shards", 1)
+        if num_shards > 1:
+            # lay the partition batch out over the data mesh: GSPMD splits
+            # the vmapped agglomeration across devices
+            from svim_tpu.parallel.mesh import shard_batch
+            starts, ends, reads, valid = shard_batch(
+                num_shards, starts, ends, reads, valid)
         (merges_lo, merges_hi, heights, min_gap, dropped, has_wall,
          dedup_ambiguous) = (np.asarray(part) for part in
                              span_position_agglomerate_batched(
@@ -228,6 +235,10 @@ def _matrix_route(samples, element_type, reference, options, ed_cache,
             n = len(survivors)
             matrices[row, :n, :n] = matrix
             valid[row, :n] = True
+        num_shards = getattr(options, "num_shards", 1)
+        if num_shards > 1:
+            from svim_tpu.parallel.mesh import shard_batch
+            matrices, valid = shard_batch(num_shards, matrices, valid)
         merges_lo, merges_hi, heights, min_gap = (
             np.asarray(part) for part in agglomerate_batched(matrices, valid))
         for row, position in enumerate(positions):

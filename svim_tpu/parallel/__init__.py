@@ -8,7 +8,9 @@ signature tables are merged with all_gather over ICI, depth counts with psum.
 from svim_tpu.parallel.mesh import (
     build_pipeline_step,
     make_mesh,
-    sharded_collect,
+    run_collect_step,
+    shard_batch,
 )
 
-__all__ = ["build_pipeline_step", "make_mesh", "sharded_collect"]
+__all__ = ["build_pipeline_step", "make_mesh", "run_collect_step",
+           "shard_batch"]
