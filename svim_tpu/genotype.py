@@ -120,18 +120,56 @@ def _genotype_index(table, min_mapq):
     return id_of_name, per_tid
 
 
-def genotype_packed(candidates, table, header, type, options):
-    """Vectorized genotyping over a packed per-record table (numpy interval
-    join; exact reference semantics including the 500-alignment cap counted
-    in coordinate order).
-
-    `table` needs ref_id/ref_start/ref_end/mapq columns and a names list —
-    a PackedAlignments batch or an io.bamstream.GenotypeTable."""
+def _ref_support_host(per_tid, tid, start, end, type, support_ids,
+                      contig_length):
+    """Numpy interval join for one candidate (exact reference semantics
+    including the 500-alignment cap counted in coordinate order)."""
     import numpy as np
 
+    entry = per_tid.get(tid)
+    if entry is None:
+        return 0
+    starts, ends, ids, max_span = entry
+    window_start = max(0, start - WINDOW)
+    window_stop = min(contig_length, end + WINDOW)
+    hi = np.searchsorted(starts, window_stop, side="left")
+    # a row can only overlap the window if it starts within max_span of it
+    lo = np.searchsorted(starts, window_start - max_span, side="left")
+    w_starts = starts[lo:hi]
+    w_ends = ends[lo:hi]
+    w_ids = ids[lo:hi]
+    in_window = w_ends > window_start
+    not_support = ~np.isin(w_ids, np.asarray(support_ids, dtype=np.int64))
+    qualifying = in_window & not_support
+    # the 500-cap counts qualifying alignments in coordinate order
+    qualifying_positions = np.nonzero(qualifying)[0]
+    if len(qualifying_positions) > ALIGNMENT_CAP:
+        qualifying_positions = qualifying_positions[:ALIGNMENT_CAP]
+    c_starts = w_starts[qualifying_positions]
+    c_ends = w_ends[qualifying_positions]
+    c_ids = w_ids[qualifying_positions]
+    if type in ("DEL", "INV"):
+        minimum_overlap = min((end - start) / 2, 2000)
+        supports = (((c_starts < (end - minimum_overlap)) & (c_ends > (end + 100)))
+                    | ((c_starts < (start - 100)) & (c_ends > (start + minimum_overlap))))
+    else:
+        supports = (c_starts < (start - 100)) & (c_ends > (end + 100))
+    return len(np.unique(c_ids[supports]))
+
+
+def genotype_packed(candidates, table, header, type, options):
+    """Vectorized genotyping over a packed per-record table.
+
+    Default path: the batched on-device interval join
+    (svim_tpu.ops.genotype_kernel) — all-integer arithmetic, bit-identical
+    to the reference loop; candidates the kernel cannot serve (very wide
+    table windows, giant contigs) and --device_backend host fall back to the
+    numpy join.  `table` needs ref_id/ref_start/ref_end/mapq columns and a
+    names list — a PackedAlignments batch or an io.bamstream.GenotypeTable."""
     id_of_name, per_tid = _genotype_index(table, options.min_mapq)
 
     num_candidates = len(candidates)
+    pending = []   # (candidate, alt_support, tid, start, end, support_ids, length)
     for nr, candidate in enumerate(candidates):
         if (nr + 1) % 10000 == 0:
             logging.info("Processed {0} of {1} candidates".format(nr + 1, num_candidates))
@@ -143,42 +181,29 @@ def genotype_packed(candidates, table, header, type, options):
         else:
             contig, start, end = candidate.get_source()
         tid = header.get_tid(contig)
-        entry = per_tid.get(tid)
         support_names = set(sig.read for sig in candidate.members)
         alt_support = len(support_names)
-        if entry is None:
-            _assign_genotype(candidate, alt_support, 0, options)
-            continue
-        starts, ends, ids, max_span = entry
-        contig_length = header.lengths[tid]
-        window_start = max(0, start - WINDOW)
-        window_stop = min(contig_length, end + WINDOW)
-        hi = np.searchsorted(starts, window_stop, side="left")
-        # a row can only overlap the window if it starts within max_span of it
-        lo = np.searchsorted(starts, window_start - max_span, side="left")
-        w_starts = starts[lo:hi]
-        w_ends = ends[lo:hi]
-        w_ids = ids[lo:hi]
-        in_window = w_ends > window_start
-        support_ids = np.asarray(
-            [id_of_name[name] for name in support_names if name in id_of_name],
-            dtype=np.int64)
-        not_support = ~np.isin(w_ids, support_ids)
-        qualifying = in_window & not_support
-        # the 500-cap counts qualifying alignments in coordinate order
-        qualifying_positions = np.nonzero(qualifying)[0]
-        if len(qualifying_positions) > ALIGNMENT_CAP:
-            qualifying_positions = qualifying_positions[:ALIGNMENT_CAP]
-        c_starts = w_starts[qualifying_positions]
-        c_ends = w_ends[qualifying_positions]
-        c_ids = w_ids[qualifying_positions]
-        if type in ("DEL", "INV"):
-            minimum_overlap = min((end - start) / 2, 2000)
-            supports = (((c_starts < (end - minimum_overlap)) & (c_ends > (end + 100)))
-                        | ((c_starts < (start - 100)) & (c_ends > (start + minimum_overlap))))
-        else:
-            supports = (c_starts < (start - 100)) & (c_ends > (end + 100))
-        ref_support = len(np.unique(c_ids[supports]))
+        support_ids = [id_of_name[name] for name in support_names
+                       if name in id_of_name]
+        contig_length = (header.lengths[tid] if per_tid.get(tid) is not None
+                         else None)
+        pending.append((candidate, alt_support, tid, start, end, support_ids,
+                        contig_length))
+
+    counts = [None] * len(pending)
+    if pending and getattr(options, "device_backend", "auto") != "host":
+        from svim_tpu.ops.genotype_kernel import genotype_ref_support_device
+        type_class = 0 if type in ("DEL", "INV") else 1
+        jobs = [(tid, start, end, type_class, support_ids, contig_length)
+                for (_c, _a, tid, start, end, support_ids, contig_length)
+                in pending]
+        counts = genotype_ref_support_device(jobs, per_tid, options)
+
+    for (candidate, alt_support, tid, start, end, support_ids,
+         contig_length), ref_support in zip(pending, counts):
+        if ref_support is None:
+            ref_support = _ref_support_host(per_tid, tid, start, end, type,
+                                            support_ids, contig_length)
         _assign_genotype(candidate, alt_support, ref_support, options)
 
 

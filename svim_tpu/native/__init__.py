@@ -81,7 +81,7 @@ def get_library():
         lib.poa_consensus_native.restype = ctypes.c_int
         lib.poa_consensus_native.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
-            ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64)]
         lib.bam_count.restype = ctypes.c_int
         lib.bam_count.argtypes = [
@@ -194,13 +194,20 @@ class aligner:
         return int(lib.myers_distance(a_bytes, len(a_bytes), b_bytes, len(b_bytes)))
 
 
-POA_MAX_CELLS = 120_000_000  # per-alignment DP budget (graph nodes x seq len)
+POA_MAX_CELLS = 120_000_000   # per-alignment DP cell budget (banded included)
+POA_FULL_DP_CELLS = 8_000_000  # above this the banded aligner takes over
 
 
-def poa_consensus_native(sequences, max_cells: int = POA_MAX_CELLS):
-    """True partial-order-alignment consensus (SPOA's role).  Returns the
-    consensus string, or None when the native library is unavailable or the
-    DP would exceed the cell budget (caller falls back to the star MSA)."""
+def poa_consensus_native(sequences, max_cells: int = POA_MAX_CELLS,
+                         full_dp_cells: int = POA_FULL_DP_CELLS):
+    """True partial-order-alignment consensus (SPOA's role).
+
+    Alignments whose full DP fits in `full_dp_cells` run unbanded; larger
+    ones (long insertion clusters with many members — the reference handles
+    10 kb haplotypes, SVIM_COMBINE.py:202) run a banded graph alignment with
+    band doubling, so the former hard cell cap no longer forces the star-MSA
+    fallback.  Returns the consensus string, or None when the native library
+    is unavailable or even the banded DP exceeds `max_cells`."""
     lib = get_library()
     if lib is None or not sequences:
         return None
@@ -210,7 +217,8 @@ def poa_consensus_native(sequences, max_cells: int = POA_MAX_CELLS):
     out = ctypes.create_string_buffer(out_cap)
     out_len = ctypes.c_int64(0)
     status = lib.poa_consensus_native(blob, lens, len(sequences), max_cells,
-                                      out, out_cap, ctypes.byref(out_len))
+                                      full_dp_cells, out, out_cap,
+                                      ctypes.byref(out_len))
     if status != 0:
         return None
     return out.raw[:out_len.value].decode()

@@ -249,6 +249,206 @@ static bool align_to_graph(const Graph& graph, const char* seq, int64_t len,
   return true;
 }
 
+// Longest-path depth per DP row (row 0 = virtual start).  A node's depth is
+// its position along the deepest chain from a source — the band center for
+// the banded alignment (similar sequences align near the diagonal
+// j ~ depth).
+static void compute_depths(const Graph& graph, std::vector<int64_t>* depth) {
+  const int rows = (int)graph.topo.size() + 1;
+  depth->assign(rows, 0);
+  for (int r = 1; r < rows; ++r) {
+    const Node& node = graph.nodes[graph.topo[r - 1]];
+    int64_t d = 1;
+    for (int p : node.preds)
+      d = std::max(d, (*depth)[graph.rank_of[p] + 1] + 1);
+    (*depth)[r] = d;
+  }
+}
+
+// Banded variant of align_to_graph: per graph node only the DP columns
+// within `band` of the node's depth are computed (similar sequences stay
+// near that diagonal).  Sets *touched when the optimal traceback grazes a
+// band edge — the caller then doubles the band, so the accepted result never
+// depends on an artificially clipped path.  Returns false only when the
+// banded cell count itself exceeds max_cells.
+static bool align_to_graph_banded(const Graph& graph, const char* seq,
+                                  int64_t len, int64_t band,
+                                  std::vector<AlignStep>* steps,
+                                  int64_t max_cells, bool* touched) {
+  const int n = (int)graph.topo.size();
+  const int rows = n + 1;
+  *touched = false;
+
+  std::vector<int64_t> depth;
+  compute_depths(graph, &depth);
+  std::vector<bool> has_succ(rows, false);
+  for (int v = 0; v < (int)graph.nodes.size(); ++v)
+    for (int u : graph.nodes[v].preds) has_succ[graph.rank_of[u] + 1] = true;
+
+  std::vector<int64_t> lo(rows), hi(rows), row_base(rows + 1, 0);
+  for (int r = 0; r < rows; ++r) {
+    if (r == 0) {
+      lo[r] = 0;  // virtual start row stays full: leading insertions
+      hi[r] = len;
+    } else {
+      lo[r] = std::max<int64_t>(0, std::min(len, depth[r] - band));
+      hi[r] = std::max<int64_t>(0, std::min(len, depth[r] + band));
+      if (!has_succ[r]) hi[r] = len;  // global end lives at (end row, len)
+      if (lo[r] > hi[r]) lo[r] = hi[r];
+    }
+    row_base[r + 1] = row_base[r] + (hi[r] - lo[r] + 1);
+  }
+  const int64_t cells = row_base[rows];
+  if (cells > max_cells) return false;
+
+  std::vector<float> M(cells, kNegInf), D1(cells, kNegInf), D2(cells, kNegInf),
+      I1(cells, kNegInf), I2(cells, kNegInf), best(cells, kNegInf);
+  std::vector<uint8_t> best_state(cells, 0);
+  std::vector<int32_t> m_from(cells, -1), d1_from(cells, -1), d2_from(cells, -1);
+  std::vector<uint8_t> d_ext(cells, 0), i_ext(cells, 0);
+
+  auto at = [&](int r, int64_t j) { return row_base[r] + (j - lo[r]); };
+  auto in_band = [&](int r, int64_t j) { return j >= lo[r] && j <= hi[r]; };
+  auto get = [&](const std::vector<float>& a, int r, int64_t j) {
+    return in_band(r, j) ? a[at(r, j)] : kNegInf;
+  };
+
+  best[at(0, 0)] = 0.0f;
+  M[at(0, 0)] = 0.0f;
+  for (int64_t j = 1; j <= len; ++j) {
+    float open1 = best[at(0, j - 1)] + kGapOpen1;
+    float ext1 = I1[at(0, j - 1)] + kGapExt1;
+    I1[at(0, j)] = std::max(open1, ext1);
+    if (ext1 >= open1) i_ext[at(0, j)] |= 1;
+    float open2 = best[at(0, j - 1)] + kGapOpen2;
+    float ext2 = I2[at(0, j - 1)] + kGapExt2;
+    I2[at(0, j)] = std::max(open2, ext2);
+    if (ext2 >= open2) i_ext[at(0, j)] |= 2;
+    best[at(0, j)] = std::max(I1[at(0, j)], I2[at(0, j)]);
+    best_state[at(0, j)] = I1[at(0, j)] >= I2[at(0, j)] ? 3 : 4;
+  }
+
+  for (int r = 1; r < rows; ++r) {
+    const Node& node = graph.nodes[graph.topo[r - 1]];
+    const char base = node.base;
+    static thread_local std::vector<int> pred_rows;
+    pred_rows.clear();
+    if (node.preds.empty()) {
+      pred_rows.push_back(0);
+    } else {
+      for (int p : node.preds) pred_rows.push_back(graph.rank_of[p] + 1);
+    }
+    for (int64_t j = lo[r]; j <= hi[r]; ++j) {
+      const int64_t cell = at(r, j);
+      float d1 = kNegInf, d2 = kNegInf;
+      int d1_src = -1, d2_src = -1;
+      uint8_t dext = 0;
+      for (int pr : pred_rows) {
+        float open1 = get(best, pr, j) + kGapOpen1;
+        float ext1 = get(D1, pr, j) + kGapExt1;
+        float cand1 = std::max(open1, ext1);
+        if (cand1 > d1) {
+          d1 = cand1;
+          d1_src = pr;
+          dext = (dext & ~1) | (ext1 >= open1 ? 1 : 0);
+        }
+        float open2 = get(best, pr, j) + kGapOpen2;
+        float ext2 = get(D2, pr, j) + kGapExt2;
+        float cand2 = std::max(open2, ext2);
+        if (cand2 > d2) {
+          d2 = cand2;
+          d2_src = pr;
+          dext = (dext & ~2) | (ext2 >= open2 ? 2 : 0);
+        }
+      }
+      D1[cell] = d1;
+      D2[cell] = d2;
+      d1_from[cell] = d1_src;
+      d2_from[cell] = d2_src;
+      d_ext[cell] = dext;
+
+      float m = kNegInf;
+      int m_src = -1;
+      if (j >= 1) {
+        const float sub = (base == seq[j - 1]) ? kMatch : kMismatch;
+        for (int pr : pred_rows) {
+          float cand = get(best, pr, j - 1) + sub;
+          if (cand > m) { m = cand; m_src = pr; }
+        }
+      }
+      M[cell] = m;
+      m_from[cell] = m_src;
+
+      float i1 = kNegInf, i2 = kNegInf;
+      if (j >= 1 && in_band(r, j - 1)) {
+        float open1 = best[at(r, j - 1)] + kGapOpen1;
+        float ext1 = I1[at(r, j - 1)] + kGapExt1;
+        i1 = std::max(open1, ext1);
+        if (ext1 >= open1) i_ext[cell] |= 1;
+        float open2 = best[at(r, j - 1)] + kGapOpen2;
+        float ext2 = I2[at(r, j - 1)] + kGapExt2;
+        i2 = std::max(open2, ext2);
+        if (ext2 >= open2) i_ext[cell] |= 2;
+      }
+      I1[cell] = i1;
+      I2[cell] = i2;
+
+      float b = m;
+      uint8_t state = 0;
+      if (d1 > b) { b = d1; state = 1; }
+      if (d2 > b) { b = d2; state = 2; }
+      if (i1 > b) { b = i1; state = 3; }
+      if (i2 > b) { b = i2; state = 4; }
+      best[cell] = b;
+      best_state[cell] = state;
+    }
+  }
+
+  int end_row = 0;
+  float end_best = kNegInf;
+  for (int r = 0; r < rows; ++r) {
+    if (r > 0 && has_succ[r]) continue;
+    if (best[at(r, len)] > end_best) { end_best = best[at(r, len)]; end_row = r; }
+  }
+  if (end_best <= kNegInf / 2) {  // band disconnected the problem entirely
+    *touched = true;
+    steps->clear();
+    return true;
+  }
+
+  steps->clear();
+  int r = end_row;
+  int64_t j = len;
+  int state = best_state[at(r, j)];
+  while (r > 0 || j > 0) {
+    if (r > 0 && ((j == lo[r] && lo[r] > 0) || (j == hi[r] && hi[r] < len)))
+      *touched = true;  // optimal path grazes the band: widen and retry
+    const int64_t cell = at(r, j);
+    if (state == 0) {
+      steps->push_back({graph.topo[r - 1], (int)(j - 1)});
+      int src = m_from[cell];
+      if (src < 0) { *touched = true; steps->clear(); return true; }
+      j -= 1;
+      r = src;
+      state = best_state[at(r, j)];
+    } else if (state == 1 || state == 2) {
+      steps->push_back({graph.topo[r - 1], -1});
+      int src = state == 1 ? d1_from[cell] : d2_from[cell];
+      if (src < 0) { *touched = true; steps->clear(); return true; }
+      bool extended = d_ext[cell] & (state == 1 ? 1 : 2);
+      r = src;
+      if (!extended) state = best_state[at(r, j)];
+    } else {
+      steps->push_back({-1, (int)(j - 1)});
+      bool extended = i_ext[cell] & (state == 3 ? 1 : 2);
+      j -= 1;
+      if (!extended) state = best_state[at(r, j)];
+    }
+  }
+  std::reverse(steps->begin(), steps->end());
+  return true;
+}
+
 // Integrate an aligned sequence into the graph (SPOA add_alignment
 // semantics: matches reuse nodes, mismatches join the aligned ring,
 // insertions add fresh nodes; edges along the sequence gain weight 1).
@@ -329,10 +529,15 @@ static void consensus_path(Graph* graph, std::string* out) {
 extern "C" {
 
 // Consensus of n_seqs sequences (concatenated, lengths in seq_lens).
-// Returns 0 on success, -1 when the DP would exceed max_cells (caller should
-// fall back), -2 when out_cap is too small.
+// Alignments whose full DP fits in full_dp_cells run unbanded; larger ones
+// run the banded aligner with band doubling (start 64, double whenever the
+// optimal path grazes a band edge) — this is what lifts the former hard cell
+// cap for long insertion clusters (reference capability: 10 kb haplotypes,
+// SVIM_COMBINE.py:202).  Returns 0 on success, -1 when even the banded DP
+// exceeds max_cells (caller falls back to the star MSA), -2 when out_cap is
+// too small.
 int poa_consensus_native(const char* seqs, const int64_t* seq_lens,
-                         int n_seqs, int64_t max_cells,
+                         int n_seqs, int64_t max_cells, int64_t full_dp_cells,
                          char* out, int64_t out_cap, int64_t* out_len) {
   poa::Graph graph;
   int64_t offset = 0;
@@ -351,9 +556,23 @@ int poa_consensus_native(const char* seqs, const int64_t* seq_lens,
   std::vector<poa::AlignStep> steps;
   for (int s = 1; s < n_seqs; ++s) {
     graph.toposort();
-    if (!poa::align_to_graph(graph, seqs + offset, seq_lens[s], &steps,
-                             max_cells))
-      return -1;
+    const int64_t len = seq_lens[s];
+    const int64_t full_cells = (int64_t)(graph.topo.size() + 1) * (len + 1);
+    bool aligned = false;
+    if (full_cells <= full_dp_cells) {
+      aligned = poa::align_to_graph(graph, seqs + offset, len, &steps,
+                                    max_cells);
+    }
+    if (!aligned) {
+      for (int64_t band = 64; band <= 2 * (len + 2); band *= 2) {
+        bool touched = false;
+        if (!poa::align_to_graph_banded(graph, seqs + offset, len, band,
+                                        &steps, max_cells, &touched))
+          return -1;  // banded cells exceed the budget: give up
+        if (!touched) { aligned = true; break; }
+      }
+      if (!aligned) return -1;
+    }
     poa::integrate(&graph, seqs + offset, seq_lens[s], steps);
     offset += seq_lens[s];
   }

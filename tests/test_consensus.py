@@ -89,3 +89,38 @@ def test_poa_consensus_identical_inputs():
     seq = "ACGTACGTACGTTTTGGGACGT"
     assert poa_consensus([seq] * 7) == seq
     assert poa_consensus([seq]) == seq
+
+
+def test_long_insertion_cluster_banded_poa():
+    """An 8 kb insertion with 20 noisy members succeeds (status 0) through
+    the banded graph POA — this used to exceed the full-DP cell budget and
+    drop to the star-MSA fallback (reference capability: 10 kb haplotypes,
+    SVIM_COMBINE.py:202)."""
+    rng = random.Random(11)
+    genome = "".join(rng.choice("ACGT") for _ in range(2000))
+    reference = _MockReference(genome)
+    motif = "".join(rng.choice("ACGT") for _ in range(8000))
+    members = []
+    for i in range(20):
+        noisy = list(motif)
+        for _ in range(100):  # ~1.2% mixed noise per member
+            op = rng.random()
+            pos = rng.randrange(len(noisy))
+            if op < 0.5:
+                noisy[pos] = rng.choice("ACGT")
+            elif op < 0.75:
+                noisy.insert(pos, rng.choice("ACGT"))
+            else:
+                del noisy[pos]
+        members.append(SignatureInsertion("chr1", 1000, 1000 + len(noisy),
+                                          "cigar", "read{0}".format(i),
+                                          "".join(noisy)))
+    cluster = SignatureClusterUniLocal("chr1", 1000, 9000, 10, len(members),
+                                       members, "INS", 0.0, 0.0)
+    status, result = generate_insertion_consensus(cluster, reference)
+    assert status == 0
+    start, size, consensus = result
+    assert start == 1000
+    assert abs(size - 8000) < 40
+    from svim_tpu.native import aligner
+    assert aligner.edit_distance(consensus, motif) < 40  # <0.5% residual

@@ -97,3 +97,28 @@ def test_genotype_packed_filters_unfiltered_table(tmp_path, default_options):
         assert fast_candidate.ref_reads == loop_candidate.ref_reads
         assert fast_candidate.alt_reads == loop_candidate.alt_reads
         assert fast_candidate.support_fraction == loop_candidate.support_fraction
+
+
+def test_genotype_packed_host_backend_matches_device(tmp_path, default_options):
+    """--device_backend host forces the numpy join; results must equal the
+    default on-device interval-join kernel."""
+    import copy
+    bam_path, del_candidates, ins_candidate = _make_inputs(tmp_path)
+    host_dels = copy.deepcopy(del_candidates)
+    host_ins = copy.deepcopy(ins_candidate)
+
+    header, packed, sa_tags = scan_bam(bam_path, default_options.min_mapq)
+    from svim_tpu.collect.packed import _run_collect_scan
+    _run_collect_scan(packed, default_options)
+
+    genotype_packed(del_candidates, packed, header, "DEL", default_options)
+    genotype_packed([ins_candidate], packed, header, "INS", default_options)
+    host_options = default_options.replace(device_backend="host")
+    genotype_packed(host_dels, packed, header, "DEL", host_options)
+    genotype_packed([host_ins], packed, header, "INS", host_options)
+
+    for host_candidate, device_candidate in zip(host_dels + [host_ins],
+                                                del_candidates + [ins_candidate]):
+        assert device_candidate.genotype == host_candidate.genotype
+        assert device_candidate.ref_reads == host_candidate.ref_reads
+        assert device_candidate.alt_reads == host_candidate.alt_reads
