@@ -3,8 +3,9 @@
 Replaces edlib.align (reference usage: SVIM_clustering.py:10,45).  The host
 implementation runs the bit-vector recurrence on arbitrary-precision Python
 integers (one "word" spanning the whole pattern), which keeps the inner loop
-in C.  The batched TPU kernel (svim_tpu/ops/myers.py) runs the same
-recurrence on uint32 lanes for many pairs at once.
+in C.  The batched TPU kernel (svim_tpu/ops/wavefront_kernel.py) computes
+the same distances as banded anti-diagonal wavefronts, with a Pallas
+VMEM-resident variant for real TPU hardware.
 """
 
 from __future__ import annotations
@@ -12,6 +13,18 @@ from __future__ import annotations
 
 _native_checked = False
 _native_fn = None
+_tpu_checked = None
+
+
+def _tpu_available() -> bool:
+    global _tpu_checked
+    if _tpu_checked is None:
+        try:
+            import jax
+            _tpu_checked = jax.devices()[0].platform == "tpu"
+        except Exception:
+            _tpu_checked = False
+    return _tpu_checked
 
 
 def _native_edit_distance():
@@ -38,10 +51,12 @@ def edit_distance(pattern: str, text: str) -> int:
 def batch_edit_distances(pairs, backend: str = "auto", band_hints=None):
     """Exact edit distances for many (a, b) pairs.
 
-    backend: "auto" (native banded Myers per pair), "wavefront" (the batched
-    device kernel — opt-in: the experimental axon TPU runtime in this
-    environment has crashed its worker on large banded scans, so auto never
-    selects it), or "python".
+    backend: "auto" (native banded Myers per pair — fastest on this
+    tunneled-TPU setup where per-call RPC dominates small batches),
+    "wavefront" (the batched device kernel; on real TPU hardware this is the
+    Pallas VMEM kernel — exact at band 4096, ~100x faster than the round-1
+    XLA scan and at parity with 8-thread native even through the tunnel), or
+    "python".
     band_hints: optional proven per-pair distance upper bounds (lets the
     device kernel resolve each pair in one banded pass)."""
     if backend == "wavefront":
@@ -50,6 +65,20 @@ def batch_edit_distances(pairs, backend: str = "auto", band_hints=None):
                                      band_hints=band_hints)
     if backend == "python":
         return [edit_distance_py(a, b) for a, b in pairs]
+    if backend == "auto" and len(pairs) >= 64 and _tpu_available():
+        # measured on the tunneled TPU: the Pallas wavefront kernel beats the
+        # 8-thread native batch once the banded DP work is large enough to
+        # amortize the RPC + transfer (see scripts/bench_wavefront_tpu.py);
+        # below the threshold native wins on dispatch latency
+        total_cells = 0
+        for index, (a, b) in enumerate(pairs):
+            band = (band_hints[index] if band_hints is not None
+                    else max(len(a), len(b)) // 4)
+            total_cells += min(len(a), len(b)) * max(64, min(band, 4096))
+        if total_cells > 50_000_000:
+            from svim_tpu.ops.wavefront_kernel import batched_edit_distance
+            return batched_edit_distance(pairs, initial_band=128,
+                                         band_hints=band_hints)
     if len(pairs) >= 8:
         try:
             from svim_tpu.native import aligner, get_library

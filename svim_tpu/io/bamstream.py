@@ -371,13 +371,44 @@ def _pack_rows(rows, max_ops, buffer, row_offset) -> StreamedBatch:
     return StreamedBatch(packed, sa_tags, row_offset, n_real)
 
 
+def _prefetch(iterator, depth: int = 2):
+    """Run `iterator` on a background thread with a bounded queue: the BGZF
+    decompress + record carve of batch N+1/N+2 overlaps the device pass and
+    host materialization of batch N (window buffers are immutable bytes, so
+    already-yielded batches stay valid).  Exceptions propagate."""
+    import queue
+    import threading
+
+    sentinel = object()
+    q = queue.Queue(maxsize=depth)
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+            q.put(sentinel)
+        except BaseException as error:  # noqa: BLE001 - re-raised on the consumer
+            q.put(error)
+
+    thread = threading.Thread(target=worker, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def collect_streaming(path: str, options):
     """Streaming COLLECT: bounded-memory scan -> per-batch device kernels.
 
     Returns (header, GenotypeTable, signatures, twins)."""
     from svim_tpu.collect.packed import dispatch_collect_scan, signatures_from_packed
 
-    stream = stream_bam(path, options.min_mapq, options.batch_reads)
+    stream = _prefetch(stream_bam(path, options.min_mapq, options.batch_reads),
+                       depth=2)
     header = next(stream)
     signatures = []
     twins = []

@@ -97,6 +97,162 @@ def banded_distance(a_codes, a_lens, b_codes, b_lens, band: int):
     return answer
 
 
+# --- Pallas kernel: whole banded DP inside one VMEM-resident program --------
+#
+# The jnp version above dispatches one XLA op-bundle per wavefront step (2L
+# steps of tiny vector work — latency-bound, and the loop-carried (B, K)
+# state is what crashed the axon worker at scale).  The Pallas kernel runs
+# the ENTIRE d-loop inside one program with the fronts held in VMEM, and
+# eliminates the per-step character gathers with a shift-register identity:
+#
+#     i(d+1, k) = (d+1+e_k)//2 = i(d, k+1)     (e_k = k - band)
+#     j(d+1, k) = j(d, k-1)
+#
+# so the character window for the next front is a one-lane roll of the
+# current window, with ONE new column entering at the edge — and both edges
+# read the same index t = (d+band)//2 - 1 (a_codes[:, t] on the right,
+# b_codes[:, t] on the left).  One dynamic column slice per step instead of
+# a (B, K) gather.  The initial windows at d=2 are gathered once OUTSIDE the
+# kernel (amortized over the whole loop).
+
+
+def _round_up(value: int, multiple: int) -> int:
+    return ((value + multiple - 1) // multiple) * multiple
+
+
+def _wavefront_pallas_kernel(a_ref, b_ref, m_ref, n_ref, ca0_ref, cb0_ref,
+                             onehot_ref, out_ref, *, band, k_width, length):
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tile_b = a_ref.shape[0]
+    e_offsets = (jax.lax.broadcasted_iota(jnp.int32, (1, k_width), 1) - band)
+    k_index = jax.lax.broadcasted_iota(jnp.int32, (1, k_width), 1)
+    m = m_ref[:, 0][:, None]                      # (TB, 1)
+    n = n_ref[:, 0][:, None]
+    final_onehot = onehot_ref[:]                  # (TB, K) precomputed one-hot
+    inf = jnp.int32(INF)
+
+    prev2 = jnp.where(k_index == band, 0, inf)
+    prev2 = jnp.broadcast_to(prev2, (tile_b, k_width)).astype(jnp.int32)
+    prev = jnp.full((tile_b, k_width), inf, dtype=jnp.int32)
+    if band >= 1:
+        prev = jnp.where((k_index == band + 1) & (m >= 1), 1, prev)
+        prev = jnp.where((k_index == band - 1) & (n >= 1), 1, prev)
+
+    answer = jnp.where(m + n == 0, 0, inf).astype(jnp.int32)[:, 0]
+    final_k = band + (m - n)                      # (TB, 1)
+    answer = jnp.where(((m + n == 1) & (final_k >= 0)
+                        & (final_k < k_width))[:, 0], 1, answer)
+
+    ca = ca0_ref[:].astype(jnp.int32)
+    cb = cb0_ref[:].astype(jnp.int32)
+    d_stop = jnp.max(m_ref[:, 0] + n_ref[:, 0]) + 1
+
+    def body(d, carry):
+        prev2, prev, ca, cb, answer = carry
+        # advance the character shift registers: roll, then insert the edge
+        # columns a[i(d, K-1)-1] (right edge) and b[j(d, 0)-1] (left edge).
+        # Mosaic only supports lane-aligned dynamic slices, so load the
+        # 128-aligned chunk containing column t and select the lane with a
+        # masked reduction.
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        def load_column(ref, t):
+            chunk_start = pl.multiple_of((t // 128) * 128, 128)
+            window = ref[:, pl.ds(chunk_start, 128)].astype(jnp.int32)
+            lane = t - chunk_start
+            return jnp.sum(jnp.where(lane128 == lane, window, 0), axis=1,
+                           keepdims=True)
+
+        t_a = jnp.clip((d + (k_width - 1 - band)) // 2 - 1, 0, length - 1)
+        t_b = jnp.clip((d + band) // 2 - 1, 0, length - 1)
+        a_col = load_column(a_ref, t_a)                      # (TB, 1)
+        b_col = load_column(b_ref, t_b)
+        ca = jnp.where(k_index == k_width - 1, a_col,
+                       pltpu.roll(ca, k_width - 1, 1))
+        cb = jnp.where(k_index == 0, b_col, pltpu.roll(cb, 1, 1))
+
+        i = (d + e_offsets) // 2                   # (1, K)
+        j = (d - e_offsets) // 2
+        in_range = (i >= 1) & (i <= m) & (j >= 1) & (j <= n)
+        substitution = jnp.where(ca == cb, 0, 1)
+
+        from_insert = jnp.where(k_index == 0, inf, pltpu.roll(prev, 1, 1)) + 1
+        from_delete = jnp.where(k_index == k_width - 1, inf,
+                                pltpu.roll(prev, k_width - 1, 1)) + 1
+        from_match = prev2 + substitution
+        front = jnp.minimum(jnp.minimum(from_insert, from_delete), from_match)
+
+        k_top = band - d
+        k_left = band + d
+        front = jnp.where((k_index == k_top) & (d <= n), d, front)
+        front = jnp.where((k_index == k_left) & (d <= m), d, front)
+        front = jnp.where(in_range | (k_index == k_top) | (k_index == k_left),
+                          front, inf)
+
+        finished = (d == (m + n)[:, 0]) & (final_k[:, 0] >= 0) \
+            & (final_k[:, 0] < k_width)
+        final_value = jnp.sum(jnp.where(final_onehot, front, 0), axis=1)
+        answer = jnp.where(finished, final_value, answer)
+        return prev, front, ca, cb, answer
+
+    _p2, _p, _ca, _cb, answer = jax.lax.fori_loop(
+        2, d_stop, body, (prev2, prev, ca, cb, answer))
+    out_ref[:, 0] = answer
+
+
+@partial(jax.jit, static_argnames=("band", "tile_b", "interpret"))
+def banded_distance_pallas(a_codes, a_lens, b_codes, b_lens, band: int,
+                           tile_b: int = 8, interpret: bool = False):
+    """Pallas version of banded_distance: same contract, whole DP in VMEM.
+
+    a_codes/b_codes: (B, L) int32 (B divisible by tile_b); returns (B,)
+    int32 with entries > band meaning "band too small, retry"."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch, length = a_codes.shape
+    # accept uint8 codes and upcast on device: 4x less host->device traffic
+    # (matters over the tunneled TPU)
+    a_codes = a_codes.astype(jnp.int32)
+    b_codes = b_codes.astype(jnp.int32)
+    k_width = _round_up(2 * band + 1, 128)
+    m = a_lens.astype(jnp.int32)[:, None]
+    n = b_lens.astype(jnp.int32)[:, None]
+
+    # initial shift-register windows at d=2 (single gather, outside Pallas)
+    e_offsets = jnp.arange(k_width, dtype=jnp.int32) - band
+    i0 = jnp.clip((2 + e_offsets[None, :]) // 2 - 1, 0, length - 1)
+    j0 = jnp.clip((2 - e_offsets[None, :]) // 2 - 1, 0, length - 1)
+    ca0 = jnp.take_along_axis(a_codes, jnp.broadcast_to(i0, (batch, k_width)),
+                              axis=1).astype(jnp.int32)
+    cb0 = jnp.take_along_axis(b_codes, jnp.broadcast_to(j0, (batch, k_width)),
+                              axis=1).astype(jnp.int32)
+    final_k = band + (m - n)
+    onehot = (jnp.arange(k_width, dtype=jnp.int32)[None, :]
+              == jnp.clip(final_k, 0, k_width - 1))
+
+    kernel = partial(_wavefront_pallas_kernel, band=band, k_width=k_width,
+                     length=length)
+    grid = (batch // tile_b,)
+
+    def row_spec(cols):
+        return pl.BlockSpec((tile_b, cols), lambda g: (g, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[row_spec(length), row_spec(length), row_spec(1), row_spec(1),
+                  row_spec(k_width), row_spec(k_width), row_spec(k_width)],
+        out_specs=row_spec(1),
+        out_shape=jax.ShapeDtypeStruct((batch, 1), jnp.int32),
+        interpret=interpret,
+    )(a_codes, b_codes, m, n, ca0, cb0, onehot)[:, 0]
+
+
 _CODE_TABLE = np.full(256, 4, dtype=np.uint8)
 for _i, _base in enumerate(b"ACGT"):
     _CODE_TABLE[_base] = _i
@@ -138,16 +294,42 @@ def _batch_chunk_for(band: int) -> int:
     return chunk
 
 
-def batched_edit_distance(pairs, initial_band: int = 64, band_hints=None):
+def _pallas_tile_b(length: int, band: int) -> int:
+    """Largest power-of-two batch tile whose VMEM working set (two code rows
+    + ~6 front/window arrays) stays within ~10 MB."""
+    k_width = _round_up(2 * band + 1, 128)
+    bytes_per_row = 2 * length * 4 + 7 * k_width * 4
+    tile = 8
+    while tile * 2 * bytes_per_row <= 10 * 1024 * 1024 and tile < 256:
+        tile *= 2
+    return tile
+
+
+def _use_pallas_default() -> bool:
+    """Compiled Pallas on TPU; the jnp scan elsewhere (interpret-mode Pallas
+    on CPU is orders of magnitude slower than XLA's compiled scan)."""
+    import jax
+
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def batched_edit_distance(pairs, initial_band: int = 64, band_hints=None,
+                          use_pallas: bool = None):
     """Exact edit distances for a list of (a, b) string pairs on the device,
     with band doubling until all pairs resolve.  Batch and length dimensions
     are padded to power-of-two buckets so repeated calls reuse compiled
     programs.
 
     band_hints: optional per-pair PROVEN upper bounds on the distance; pairs
-    are grouped by power-of-two band and each group resolves in one pass."""
+    are grouped by power-of-two band and each group resolves in one pass.
+    use_pallas: force the Pallas VMEM kernel (None = auto: TPU only)."""
     if not pairs:
         return []
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
     results = np.full(len(pairs), -1, dtype=np.int64)
     pending = list(range(len(pairs)))
     # trivial empties
@@ -167,7 +349,10 @@ def batched_edit_distance(pairs, initial_band: int = 64, band_hints=None):
         length = max(max(len(a), len(b)) for a, b in subset)
         length = _pow4_at_least(max(length, 1), 512)
         band = min(band, length)  # a wider band than the strings is degenerate
-        chunk_size = _batch_chunk_for(band)
+        if use_pallas:
+            chunk_size = max(_pallas_tile_b(length, band), 256)
+        else:
+            chunk_size = _batch_chunk_for(band)
         answers = np.empty(len(subset), dtype=np.int64)
         for chunk_start in range(0, len(subset), chunk_size):
             chunk = subset[chunk_start:chunk_start + chunk_size]
@@ -179,7 +364,13 @@ def batched_edit_distance(pairs, initial_band: int = 64, band_hints=None):
             b_lens = np.zeros(chunk_size, dtype=np.int32)
             a_lens[:len(chunk)] = [len(a) for a, _ in chunk]
             b_lens[:len(chunk)] = [len(b) for _, b in chunk]
-            out = np.asarray(banded_distance(a_codes, a_lens, b_codes, b_lens, band))
+            if use_pallas:
+                tile_b = _pallas_tile_b(length, band)
+                out = np.asarray(banded_distance_pallas(
+                    a_codes, a_lens, b_codes, b_lens, band, tile_b=tile_b))
+            else:
+                out = np.asarray(banded_distance(a_codes, a_lens, b_codes,
+                                                 b_lens, band))
             answers[chunk_start:chunk_start + len(chunk)] = out[:len(chunk)]
         return answers, length
 
