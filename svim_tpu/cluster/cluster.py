@@ -64,47 +64,83 @@ def _group_by_labels(elements, labels):
     return groups
 
 
-def clusters_from_partitions(partitions, reference, options):
-    """Cluster each partition with average linkage cut at cluster_max_distance
-    (reference: SVIM_clustering.py:122-180)."""
-    clusters_final = []
-    large_partitions = 0
-    duplicate_signatures = 0
+class _ClusterWork:
+    """State between the dispatch and consume halves of per-type clustering
+    (device kernels in flight across types)."""
+
+    __slots__ = ("partitions", "samples", "large_partitions", "ed_cache",
+                 "pending", "eligible")
+
+    def __init__(self):
+        self.partitions = []
+        self.samples = []
+        self.large_partitions = 0
+        self.ed_cache = None
+        self.pending = None
+        self.eligible = []
+
+
+def dispatch_clusters_from_partitions(partitions, reference, options):
+    """Phase 1: subsample, precompute INS edit distances, and LAUNCH the
+    batched device agglomerations without waiting (jax dispatch is async, so
+    several types' kernels overlap — the per-call latency matters on the
+    tunneled TPU)."""
+    work = _ClusterWork()
+    work.partitions = partitions
     seed(RANDOM_SEED)
     # subsample oversized partitions upfront (same RNG consumption order as
     # sampling inside the loop)
-    samples = []
     for partition in partitions:
         if len(partition) > MAX_PARTITION_SIZE:
-            samples.append(sample(partition, MAX_PARTITION_SIZE))
-            large_partitions += 1
+            work.samples.append(sample(partition, MAX_PARTITION_SIZE))
+            work.large_partitions += 1
         else:
-            samples.append(partition)
+            work.samples.append(partition)
 
     # one batched edit-distance pass over every INS near pair of every
     # partition: feeds the device wavefront kernel a full workload at once
-    ed_cache = None
     if partitions and partitions[0] and partitions[0][0].type == "INS":
-        ed_cache = accel.precompute_ins_edit_distances(
-            [s for s in samples if len(s) >= 2], reference, options)
+        work.ed_cache = accel.precompute_ins_edit_distances(
+            [s for s in work.samples if len(s) >= 2], reference, options)
 
     # device clustering (the default backend): all six types run as batched
     # on-device agglomerations; per-partition float32 ambiguity flags route
     # the rare unsafe partitions back through the exact host path below
-    device_results = {}
     if (getattr(options, "cluster_backend", "device") != "exact"
             and partitions and partitions[0]):
-        from svim_tpu.cluster.device_cluster import DEVICE_TYPES, cluster_partitions_device
+        from svim_tpu.cluster.device_cluster import (
+            DEVICE_TYPES,
+            dispatch_partitions_device,
+        )
         element_type = partitions[0][0].type
         if element_type in DEVICE_TYPES:
-            eligible = [(index, sample_list) for index, sample_list in enumerate(samples)
-                        if 3 <= len(sample_list) <= 128]
-            if eligible:
-                per_position = cluster_partitions_device(
-                    [sample_list for _, sample_list in eligible], element_type,
-                    reference, options, ed_cache=ed_cache)
-                device_results = {index: per_position[position]
-                                  for position, (index, _) in enumerate(eligible)}
+            work.eligible = [(index, sample_list)
+                             for index, sample_list in enumerate(work.samples)
+                             if 3 <= len(sample_list) <= 128]
+            if work.eligible:
+                work.pending = dispatch_partitions_device(
+                    [sample_list for _, sample_list in work.eligible],
+                    element_type, reference, options, ed_cache=work.ed_cache)
+    return work
+
+
+def finish_clusters_from_partitions(work, reference, options):
+    """Phase 2: fetch the device results and run dedup/linkage host paths for
+    everything the device could not arbitrate (reference:
+    SVIM_clustering.py:122-180)."""
+    partitions = work.partitions
+    samples = work.samples
+    ed_cache = work.ed_cache
+    large_partitions = work.large_partitions
+    clusters_final = []
+    duplicate_signatures = 0
+
+    device_results = {}
+    if work.pending is not None:
+        from svim_tpu.cluster.device_cluster import consume_partitions_device
+        per_position = consume_partitions_device(work.pending)
+        device_results = {index: per_position[position]
+                          for position, (index, _) in enumerate(work.eligible)}
 
     for partition_index, partition_sample in enumerate(samples):
         if len(partition_sample) == 1:
@@ -189,6 +225,13 @@ def clusters_from_partitions(partitions, reference, options):
                       "signature from the same read.",
                       duplicate_signatures, partitions[0][0].type)
     return clusters_final
+
+
+def clusters_from_partitions(partitions, reference, options):
+    """Cluster each partition with average linkage cut at cluster_max_distance
+    (reference: SVIM_clustering.py:122-180)."""
+    work = dispatch_clusters_from_partitions(partitions, reference, options)
+    return finish_clusters_from_partitions(work, reference, options)
 
 
 def calculate_score(cluster, std_span, std_pos, span, type):
@@ -303,11 +346,7 @@ def consolidate_clusters_bilocal(clusters):
     return consolidated_clusters
 
 
-def partition_and_cluster(signatures, options, type):
-    """Full per-type clustering pipeline (reference: SVIM_clustering.py:375-386)."""
-    partitions = form_partitions(signatures, options.partition_max_distance)
-    with FastaFile(options.genome) as reference:
-        clusters = clusters_from_partitions(partitions, reference, options)
+def _consolidate_typed(clusters, partitions, type):
     logging.info("Clustered {0}: {1} partitions and {2} clusters".format(
         type, len(partitions), len(clusters)))
     if type in ("deleted regions", "inserted regions", "inverted regions"):
@@ -319,6 +358,14 @@ def partition_and_cluster(signatures, options, type):
         return consolidate_clusters_bilocal(clusters)
     logging.error("Unknown parameter type={0} to function partition_and_cluster.".format(type))
     return None
+
+
+def partition_and_cluster(signatures, options, type):
+    """Full per-type clustering pipeline (reference: SVIM_clustering.py:375-386)."""
+    partitions = form_partitions(signatures, options.partition_max_distance)
+    with FastaFile(options.genome) as reference:
+        clusters = clusters_from_partitions(partitions, reference, options)
+    return _consolidate_typed(clusters, partitions, type)
 
 
 def partition_and_cluster_candidates(candidates, options, type):
@@ -398,18 +445,43 @@ def partition_and_cluster_candidates(candidates, options, type):
 def cluster_sv_signatures(sv_signatures, options):
     """Split signatures by type and cluster each (reference: SVIM_CLUSTER.py:7-26).
 
+    All six types' device agglomerations are DISPATCHED before any result is
+    awaited (fused coordinate types first — their host prep is cheap — then
+    the matrix types), so the per-call device latency overlaps across types
+    instead of serializing; the per-type logging and output order match the
+    reference exactly.
+
     Returns (deletion, insertion, inversion, tandem_duplication,
     insertion_from, translocation) cluster lists."""
     by_type = {key: [] for key in ("DEL", "INS", "INV", "DUP_TAN", "BND", "DUP_INT")}
     for signature in sv_signatures:
         by_type[signature.type].append(signature)
 
-    return (
-        partition_and_cluster(by_type["DEL"], options, "deleted regions"),
-        partition_and_cluster(by_type["INS"], options, "inserted regions"),
-        partition_and_cluster(by_type["INV"], options, "inverted regions"),
-        partition_and_cluster(by_type["DUP_TAN"], options, "tandem duplicated regions"),
-        partition_and_cluster(by_type["DUP_INT"], options,
-                              "inserted regions with detected region of origin"),
-        partition_and_cluster(by_type["BND"], options, "translocation breakpoints"),
-    )
+    labels = {
+        "DEL": "deleted regions",
+        "INS": "inserted regions",
+        "INV": "inverted regions",
+        "DUP_TAN": "tandem duplicated regions",
+        "DUP_INT": "inserted regions with detected region of origin",
+        "BND": "translocation breakpoints",
+    }
+    # dispatch order: cheap host prep first so device kernels start early;
+    # INS last (its prep runs the native edit-distance batch while the other
+    # types' kernels are already computing)
+    dispatch_order = ("DEL", "INV", "DUP_TAN", "BND", "DUP_INT", "INS")
+    with FastaFile(options.genome) as reference:
+        staged = {}
+        for key in dispatch_order:
+            partitions = form_partitions(by_type[key],
+                                         options.partition_max_distance)
+            staged[key] = (partitions, dispatch_clusters_from_partitions(
+                partitions, reference, options))
+        consolidated = {}
+        for key in ("DEL", "INS", "INV", "DUP_TAN", "DUP_INT", "BND"):
+            partitions, work = staged[key]
+            clusters = finish_clusters_from_partitions(work, reference, options)
+            consolidated[key] = _consolidate_typed(clusters, partitions,
+                                                   labels[key])
+    return (consolidated["DEL"], consolidated["INS"], consolidated["INV"],
+            consolidated["DUP_TAN"], consolidated["DUP_INT"],
+            consolidated["BND"])

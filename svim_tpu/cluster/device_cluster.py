@@ -123,15 +123,34 @@ class DeviceClusterResult:
         self.dropped_count = dropped_count
 
 
-def _fused_route(samples, element_type, options):
-    """DEL / INV / DUP_TAN: coordinates -> device matrix+dedup+agglomerate."""
+class PendingDeviceClusters:
+    """In-flight device agglomerations for one signature type.
+
+    Dispatch and consumption are split so the driver can launch every type's
+    kernels before blocking on any result — jax dispatch is asynchronous, so
+    the per-call latency (tunnel RPC on this environment's TPU) overlaps
+    across the six types instead of serializing."""
+
+    __slots__ = ("samples", "threshold", "fused", "matrix", "ready")
+
+    def __init__(self, samples, threshold):
+        self.samples = samples
+        self.threshold = threshold
+        self.fused = []    # (indices, device outputs) per bucket
+        self.matrix = []   # (positions, prepared, device outputs) per bucket
+        self.ready = {}    # index -> DeviceClusterResult decided at dispatch
+
+
+def _dispatch_fused(samples, element_type, options):
+    """DEL / INV / DUP_TAN: coordinates -> device matrix+dedup+agglomerate
+    (kernels dispatched, results not yet fetched)."""
     wall_same_read = element_type != "INV"
     threshold = float(options.cluster_max_distance)
+    pending = PendingDeviceClusters(samples, threshold)
     by_bucket = {}
     for index, sample in enumerate(samples):
         by_bucket.setdefault(_bucket(len(sample)), []).append(index)
 
-    results = {}
     for pad, indices in sorted(by_bucket.items()):
         batch = _round_up_pow2(len(indices))
         starts = np.zeros((batch, pad), dtype=np.int32)
@@ -154,12 +173,25 @@ def _fused_route(samples, element_type, options):
             from svim_tpu.parallel.mesh import shard_batch
             starts, ends, reads, valid = shard_batch(
                 num_shards, starts, ends, reads, valid)
+        outputs = span_position_agglomerate_batched(
+            starts, ends, reads, valid,
+            np.float32(options.position_distance_normalizer),
+            np.float32(threshold), wall_same_read)
+        pending.fused.append((indices, outputs))
+    return pending
+
+
+def _consume_fused(pending):
+    results = dict(pending.ready)
+    samples = pending.samples
+    threshold = pending.threshold
+    for indices, outputs in pending.fused:
+        import jax
+
+        # one batched fetch: per-array np.asarray pays a full RPC round trip
+        # each over the tunneled TPU (measured ~10x slower)
         (merges_lo, merges_hi, heights, min_gap, dropped, has_wall,
-         dedup_ambiguous) = (np.asarray(part) for part in
-                             span_position_agglomerate_batched(
-                                 starts, ends, reads, valid,
-                                 np.float32(options.position_distance_normalizer),
-                                 np.float32(threshold), wall_same_read))
+         dedup_ambiguous) = jax.device_get(outputs)
         for row, index in enumerate(indices):
             sample = samples[index]
             n = len(sample)
@@ -183,13 +215,14 @@ def _fused_route(samples, element_type, options):
     return results
 
 
-def _matrix_route(samples, element_type, reference, options, ed_cache,
-                  dedup_same_read=True):
+def _dispatch_matrix(samples, element_type, reference, options, ed_cache,
+                     dedup_same_read=True):
     """INS / DUP_INT / BND (and the candidate round): host float64 matrix +
-    exact dedup, device agglomeration."""
+    exact dedup, device agglomeration (kernels dispatched, not fetched)."""
     threshold = float(options.cluster_max_distance)
+    pending = PendingDeviceClusters(samples, threshold)
     prepared = []   # (index, survivors, matrix_f32, dropped_count) per partition
-    fallback = {}
+    fallback = pending.ready
     for index, sample in enumerate(samples):
         matrix = accel.distance_matrix(sample, element_type, reference,
                                        options, ed_cache=ed_cache)
@@ -222,7 +255,6 @@ def _matrix_route(samples, element_type, reference, options, ed_cache,
         prepared.append((index, survivors, matrix.astype(np.float32),
                          dropped_count))
 
-    results = dict(fallback)
     by_bucket = {}
     for position, (index, survivors, matrix, dropped_count) in enumerate(prepared):
         by_bucket.setdefault(_bucket(len(survivors)), []).append(position)
@@ -239,8 +271,18 @@ def _matrix_route(samples, element_type, reference, options, ed_cache,
         if num_shards > 1:
             from svim_tpu.parallel.mesh import shard_batch
             matrices, valid = shard_batch(num_shards, matrices, valid)
-        merges_lo, merges_hi, heights, min_gap = (
-            np.asarray(part) for part in agglomerate_batched(matrices, valid))
+        outputs = agglomerate_batched(matrices, valid)
+        pending.matrix.append((positions, prepared, outputs))
+    return pending
+
+
+def _consume_matrix(pending):
+    results = dict(pending.ready)
+    threshold = pending.threshold
+    for positions, prepared, outputs in pending.matrix:
+        import jax
+
+        merges_lo, merges_hi, heights, min_gap = jax.device_get(outputs)
         for row, position in enumerate(positions):
             index, survivors, _, dropped_count = prepared[position]
             if float(min_gap[row]) < TIE_EPS:
@@ -256,22 +298,42 @@ def _matrix_route(samples, element_type, reference, options, ed_cache,
     return results
 
 
-def cluster_partitions_device(samples: List[list], element_type: str,
-                              reference, options, ed_cache=None):
-    """Cluster same-type partitions (each 3..128 elements) on device.
+def dispatch_partitions_device(samples: List[list], element_type: str,
+                               reference, options, ed_cache=None):
+    """Launch the device agglomerations for same-type partitions (each 3..128
+    elements) WITHOUT waiting for the results (jax async dispatch); pair with
+    consume_partitions_device.  Lets the driver overlap all six types'
+    kernels."""
+    if element_type in FUSED_TYPES:
+        pending = _dispatch_fused(samples, element_type, options)
+        pending.samples = samples
+        return pending
+    if element_type in MATRIX_TYPES:
+        return _dispatch_matrix(samples, element_type, reference, options,
+                                ed_cache)
+    raise ValueError("unknown signature type {0}".format(element_type))
+
+
+def consume_partitions_device(pending: PendingDeviceClusters):
+    """Fetch dispatched results and reconstruct clusters.
 
     Returns {index: DeviceClusterResult}; a result with clusters=None means
     float32 could not safely arbitrate that partition and the caller must
     re-run it through the exact host path."""
-    if element_type in FUSED_TYPES:
-        return _fused_route(samples, element_type, options)
-    if element_type in MATRIX_TYPES:
-        return _matrix_route(samples, element_type, reference, options, ed_cache)
-    raise ValueError("unknown signature type {0}".format(element_type))
+    if pending.fused:
+        return _consume_fused(pending)
+    return _consume_matrix(pending)
+
+
+def cluster_partitions_device(samples: List[list], element_type: str,
+                              reference, options, ed_cache=None):
+    """Dispatch + consume in one call (single-type callers)."""
+    return consume_partitions_device(dispatch_partitions_device(
+        samples, element_type, reference, options, ed_cache=ed_cache))
 
 
 def cluster_candidates_device(samples: List[list], options):
     """Device agglomeration for the second DUP_INT candidate round
     (reference: SVIM_clustering.py:306-372 — no dedup, no walls)."""
-    return _matrix_route(samples, "DUP_INT", None, options, None,
-                         dedup_same_read=False)
+    return _consume_matrix(_dispatch_matrix(samples, "DUP_INT", None, options,
+                                            None, dedup_same_read=False))

@@ -232,6 +232,14 @@ def dispatch_collect_scan(packed, options):
 
     from svim_tpu.ops.cigar_kernel import _round_up_pow2, collect_scan
 
+    def transfer_words():
+        """Halve the host->device traffic when every word fits uint16 (the
+        kernels upcast on device)."""
+        words = packed.cigar_words
+        if words.size and words.dtype != np.uint16 and int(words.max()) < 65536:
+            words = words.astype(np.uint16)
+        return words
+
     num_shards = getattr(options, "num_shards", 1)
     if num_shards > 1:
         import jax
@@ -240,7 +248,7 @@ def dispatch_collect_scan(packed, options):
         devices = jax.devices()[:num_shards]
         if len(devices) == num_shards and packed.n % num_shards == 0:
             mesh = Mesh(np.asarray(devices), axis_names=("data",))
-            words_batch = jax.device_put(packed.cigar_words,
+            words_batch = jax.device_put(transfer_words(),
                                          NamedSharding(mesh, P("data", None)))
             ref_start = jax.device_put(
                 np.asarray(packed.ref_start, dtype=np.int32),
@@ -252,7 +260,7 @@ def dispatch_collect_scan(packed, options):
     if packed.device_cigars is not None:
         words_batch = packed.device_cigars
     else:
-        words_batch = jnp.asarray(packed.cigar_words)
+        words_batch = jnp.asarray(transfer_words())
     ref_start = jnp.asarray(np.asarray(packed.ref_start, dtype=np.int32))
     max_events = _round_up_pow2(max(1024, packed.n * 4))
     result = collect_scan(words_batch, ref_start,
@@ -447,8 +455,12 @@ def _classify_groups(group_rows, group_segments, dispatched, packed, getrname,
     """Consume the pair-classification kernel outputs and assemble per-read
     signatures in reference order."""
     outputs, is_reverse, ref_id = dispatched
+    import jax
+
+    # one batched fetch: per-array np.asarray pays a full RPC round trip
+    # each over the tunneled TPU
     (code, p1, p2, aux, contig2, qpos, twin_mask, twin_p1, twin_p2,
-     twin_aux) = (np.asarray(out) for out in outputs)
+     twin_aux) = jax.device_get(outputs)
 
     for g, row in enumerate(group_rows):
         if not (code[g] != 0).any() and not twin_mask[g].any():

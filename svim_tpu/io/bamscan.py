@@ -243,5 +243,10 @@ def build_packed(ref_id, ref_start, mapq, flag, cigar_words, names,
         mapq=mapq, flag=flag, qa_start=None, qa_end=None,
         read_len=None, cigar_words=cigar_words,
         names=names, sequences=sequences, records=None)
-    packed.device_cigars = jnp.asarray(cigar_words)
+    # ship uint16 words when every op length fits 12 bits (the common case):
+    # half the host->device traffic; the kernels upcast on device
+    device_words = cigar_words
+    if cigar_words.size and int(cigar_words.max()) < 65536:
+        device_words = cigar_words.astype(np.uint16)
+    packed.device_cigars = jnp.asarray(device_words)
     return packed

@@ -20,8 +20,10 @@ import numpy as np
 
 
 def _decode(cigar_words: jax.Array):
-    """BAM word encoding -> (ops, lens).  Words are int32 with op in the low
-    4 bits; lengths < 2^27 keep the value nonnegative."""
+    """BAM word encoding -> (ops, lens).  Words are int32 (or uint16 when
+    every length fits 12 bits — half the transfer; upcast on device) with op
+    in the low 4 bits; lengths < 2^27 keep the value nonnegative."""
+    cigar_words = cigar_words.astype(jnp.int32)
     ops = cigar_words & 0xF
     lens = cigar_words >> 4
     return ops, lens

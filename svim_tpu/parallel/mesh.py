@@ -70,6 +70,7 @@ def _local_collect(cigar_words, ref_start, min_sv_size, events_per_shard):
     local table.  Returns (start, length, is_ins, local_row, true_count);
     entries past the table size are lost HERE but the true count travels with
     the table so the caller re-runs with a larger bound."""
+    cigar_words = cigar_words.astype(jnp.int32)
     cigar_lens = cigar_words >> 4
     del_mask, ins_mask, pos_ref, _pos_read = cigar_indel_scan(
         cigar_words, min_sv_size)
