@@ -200,7 +200,11 @@ def _signatures_from_grouped_packed(packed, group_sizes, name_table, options):
     return sv_signatures, twins
 
 
-STREAMING_THRESHOLD_BYTES = 256 * 1024 * 1024
+# measured on the tunneled TPU (round 2): the streaming scanner beats the
+# one-shot path once there is enough input to pipeline (0.86 s vs 1.23 s on
+# the 2048-read bench) — window decompression, carving, device transfer and
+# host materialization overlap.  Tiny inputs stay one-shot (fixed overheads).
+STREAMING_THRESHOLD_BYTES = 8 * 1024 * 1024
 
 
 def collect_signatures_from_bam(bam_path: str, options):

@@ -350,7 +350,10 @@ def batched_edit_distance(pairs, initial_band: int = 64, band_hints=None,
         length = _pow4_at_least(max(length, 1), 512)
         band = min(band, length)  # a wider band than the strings is degenerate
         if use_pallas:
-            chunk_size = max(_pallas_tile_b(length, band), 256)
+            # the Pallas grid iterates batch tiles inside ONE call, so big
+            # chunks cost no extra VMEM — they just amortize the per-call
+            # dispatch (a full RPC on the tunneled TPU)
+            chunk_size = max(_pallas_tile_b(length, band), 2048)
         else:
             chunk_size = _batch_chunk_for(band)
         answers = np.empty(len(subset), dtype=np.int64)
@@ -374,9 +377,20 @@ def batched_edit_distance(pairs, initial_band: int = 64, band_hints=None,
             answers[chunk_start:chunk_start + len(chunk)] = out[:len(chunk)]
         return answers, length
 
-    if band_hints is not None:
+    if band_hints is not None and pending:
+        # hints are PROVEN upper bounds but usually loose (e.g. s1+s2 for a
+        # pair of near-identical inserts whose true distance is tiny), so a
+        # cheap narrow first pass resolves the bulk before the hint-sized
+        # groups run
+        answers, _length = run(pending, band)
+        first_leftovers = []
+        for position, idx in enumerate(pending):
+            if answers[position] <= band:
+                results[idx] = int(answers[position])
+            else:
+                first_leftovers.append(idx)
         groups = {}
-        for idx in pending:
+        for idx in first_leftovers:
             hint_band = _pow4_at_least(int(band_hints[idx]) + 1, initial_band)
             groups.setdefault(hint_band, []).append(idx)
         leftovers = []
