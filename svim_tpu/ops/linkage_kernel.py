@@ -48,15 +48,17 @@ MERGE_CUTOFF = 1.0e30
 TIE_EPS = 3.0e-4
 
 
-def _agglomerate_one(d):
+def _agglomerate_one(d, steps=None):
     """(P, P) float32 distance matrix (BIG on the diagonal / invalid slots)
     -> (merge_lo, merge_hi, heights, min_rel_gap).
 
-    Runs P-1 argmin+average-update steps; steps whose global minimum is
-    >= MERGE_CUTOFF emit (-1, -1, BIG) padding rows.  min_rel_gap is the
-    smallest (second_best - best) / max(best, 1) seen over real merge steps
-    — 0 for an exact tie; small when float32 rounding could reorder merges.
-    """
+    Runs `steps` (default P-1) argmin+average-update steps; steps whose
+    global minimum is >= MERGE_CUTOFF emit (-1, -1, BIG) padding rows.
+    min_rel_gap is the smallest (second_best - best) / max(best, 1) seen
+    over real merge steps — 0 for an exact tie; small when float32 rounding
+    could reorder merges.  `steps` may be a traced scalar (the batched
+    callers pass max(valid count) - 1, which cuts the sequential loop for
+    small partitions padded into a wide bucket)."""
     p = d.shape[0]
     index = jnp.arange(p, dtype=jnp.int32)
     eye = jnp.eye(p, dtype=bool)
@@ -106,8 +108,10 @@ def _agglomerate_one(d):
             jnp.full((p - 1,), -1, dtype=jnp.int32),
             jnp.full((p - 1,), BIG, dtype=jnp.float32),
             BIG)
+    if steps is None:
+        steps = p - 1
     _, _, merges_lo, merges_hi, heights, min_gap = jax.lax.fori_loop(
-        0, p - 1, body, init)
+        0, steps, body, init)
     return merges_lo, merges_hi, heights, min_gap
 
 
@@ -119,7 +123,8 @@ def agglomerate_batched(distances, valid):
     pair_valid = valid[:, :, None] & valid[:, None, :]
     eye = jnp.eye(distances.shape[1], dtype=bool)[None]
     d = jnp.where(pair_valid & ~eye, distances.astype(jnp.float32), BIG)
-    return jax.vmap(_agglomerate_one)(d)
+    steps = jnp.maximum(jnp.max(jnp.sum(valid, axis=1)) - 1, 0)
+    return jax.vmap(_agglomerate_one, in_axes=(0, None))(d, steps)
 
 
 # --- fused span-position path (DEL / INV / DUP_TAN) ---------------------------
@@ -128,7 +133,7 @@ WALL = jnp.float32(99999.0)
 
 
 def _span_position_fused_one(starts, ends, reads, valid, norm, threshold,
-                             wall_same_read):
+                             wall_same_read, steps=None):
     """One partition: device distance matrix + dedup + agglomeration.
 
     Returns (merges_lo, merges_hi, heights, min_gap, dropped, has_wall,
@@ -168,7 +173,7 @@ def _span_position_fused_one(starts, ends, reads, valid, norm, threshold,
         has_wall = jnp.bool_(False)
         d = jnp.where(pair_valid, distance, BIG)
 
-    merges_lo, merges_hi, heights, min_gap = _agglomerate_one(d)
+    merges_lo, merges_hi, heights, min_gap = _agglomerate_one(d, steps)
     return merges_lo, merges_hi, heights, min_gap, dropped, has_wall, dedup_ambiguous
 
 
@@ -177,9 +182,10 @@ def span_position_agglomerate_batched(starts, ends, reads, valid, norm,
                                       threshold, wall_same_read=True):
     """(B, P) int32 coordinate batch -> per-partition merge sequences plus
     dedup/diagnostic outputs (see _span_position_fused_one)."""
+    steps = jnp.maximum(jnp.max(jnp.sum(valid, axis=1)) - 1, 0)
     return jax.vmap(_span_position_fused_one,
-                    in_axes=(0, 0, 0, 0, None, None, None))(
-        starts, ends, reads, valid, norm, threshold, wall_same_read)
+                    in_axes=(0, 0, 0, 0, None, None, None, None))(
+        starts, ends, reads, valid, norm, threshold, wall_same_read, steps)
 
 
 # --- legacy flat-label variant (mesh demo / tests) ----------------------------
