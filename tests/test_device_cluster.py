@@ -191,3 +191,28 @@ def test_device_backend_fuzz_matches_exact(default_options):
                 signatures.append(SignatureDeletion(
                     "chr1", start, end, "cigar", read))
         _compare(signatures, default_options, "deleted regions")
+
+
+def test_device_backend_exact_on_tie_grids(default_options):
+    """Quantized coordinates force EXACT distance ties — the kernel's gap
+    diagnostic must route those partitions to the host path and results must
+    stay identical to the exact backend."""
+    from svim_tpu.signatures import SignatureDuplicationTandem
+
+    for trial in range(6):
+        rng = random.Random(trial)
+        dels, tans = [], []
+        for group in range(rng.randint(2, 5)):
+            center = 10000 * (group + 1)
+            span = rng.choice([100, 200, 400])
+            for i in range(rng.randint(3, 40)):
+                start = center + rng.choice([-100, -50, 0, 50, 100])
+                end = start + span + rng.choice([-10, 0, 10])
+                read = "r{0}_{1}".format(group, rng.randint(0, 15))
+                if rng.random() < 0.5:
+                    dels.append(SignatureDeletion("chr1", start, end, "cigar", read))
+                else:
+                    tans.append(SignatureDuplicationTandem(
+                        "chr1", start, end, 1, True, "suppl", read))
+        _compare(dels, default_options, "deleted regions")
+        _compare(tans, default_options, "tandem duplicated regions")
