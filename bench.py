@@ -19,7 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N_READS = int(os.environ.get("SVIM_BENCH_READS", "2048"))
+N_READS = int(os.environ.get("SVIM_BENCH_READS", "8192"))
 # 0 = run the baseline over the full workload (fair: clustering cost is
 # nonlinear in signature density, so subsampled baselines extrapolate wrong)
 BASELINE_SAMPLE = int(os.environ.get("SVIM_BENCH_BASELINE_READS", "0"))
@@ -28,9 +28,11 @@ REPEATS = int(os.environ.get("SVIM_BENCH_REPEATS", "3"))
 
 
 COVERAGE = 24          # reads supporting each simulated SV locus
-N_DEL_LOCI = 24
-N_INS_LOCI = 24
-GENOME_SPAN = 12_000_000
+# SV loci scale with the read count (constant SV density, like real genomes:
+# deeper total input = proportionally more loci at the same coverage)
+N_DEL_LOCI = max(8, N_READS // 85)
+N_INS_LOCI = max(8, N_READS // 85)
+GENOME_SPAN = max(12_000_000, N_READS * 6_000)
 
 
 def _noisy_cigar(rng, sv=None):
@@ -173,20 +175,79 @@ def _probe_tpu(timeout_s: int = None) -> bool:
         return False
 
 
+def _array_measurement(tmp_dir, bam_path, genome_path):
+    """Measure the array path; prints ONE json line {platform, best_s}.
+
+    Run in a subprocess (see main): the experimental axon TPU worker can
+    wedge mid-run, and a wedged in-process measurement would take the whole
+    benchmark down."""
+    import logging
+    logging.disable(logging.INFO)
+
+    from svim_tpu.config import parse_arguments
+    from svim_tpu.utils.device import setup_jax_cache
+
+    if os.environ.get("SVIM_BENCH_FORCE_CPU") == "1":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    setup_jax_cache()
+    options = parse_arguments(arguments=["alignment", tmp_dir, bam_path, genome_path])
+
+    import jax
+    from svim_tpu.collect.packed import collect_signatures_from_bam
+
+    platform = jax.devices()[0].platform
+    # warmup (compile)
+    collect_signatures_from_bam(bam_path, options)
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        _header, _packed, signatures, _twins = collect_signatures_from_bam(bam_path, options)
+        collect_time = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run_cluster(signatures, options)
+        cluster_time = time.perf_counter() - t0
+        best = min(best, collect_time + cluster_time)
+    print(json.dumps({"platform": platform, "best_s": best}))
+
+
+def _run_array_subprocess(tmp_dir, bam_path, genome_path):
+    """Array measurement in a watchdogged subprocess; retries pinned to CPU
+    if the device run hangs or dies, so the bench ALWAYS reports."""
+    import subprocess
+    timeout_s = int(os.environ.get("SVIM_BENCH_ARRAY_TIMEOUT", "1200"))
+    for force_cpu in (False, True):
+        env = dict(os.environ)
+        if force_cpu:
+            env["SVIM_BENCH_FORCE_CPU"] = "1"
+            print("# device array run failed; re-measuring on CPU backend",
+                  file=sys.stderr)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--array",
+                 tmp_dir, bam_path, genome_path],
+                capture_output=True, timeout=timeout_s, env=env, text=True)
+        except subprocess.TimeoutExpired:
+            continue
+        if proc.returncode == 0:
+            for line in reversed(proc.stdout.splitlines()):
+                line = line.strip()
+                if line.startswith("{"):
+                    return json.loads(line)
+    raise RuntimeError("array measurement failed on device and CPU")
+
+
 def main():
     import logging
     logging.disable(logging.INFO)
     import tempfile
 
     from svim_tpu.config import parse_arguments
-    from svim_tpu.utils.device import setup_jax_cache
 
     if os.environ.get("SVIM_BENCH_SKIP_PROBE") != "1" and not _probe_tpu():
         # device unreachable: fall back to CPU so the bench always reports
-        import jax
-        jax.config.update("jax_platforms", "cpu")
+        os.environ["SVIM_BENCH_FORCE_CPU"] = "1"
         print("# TPU probe failed; benchmarking on CPU backend", file=sys.stderr)
-    setup_jax_cache()
     tmp_dir = tempfile.mkdtemp(prefix="svim_bench_")
     bam_path, genome_path, header, records = make_workload(tmp_dir)
     options = parse_arguments(arguments=["alignment", tmp_dir, bam_path, genome_path])
@@ -222,27 +283,13 @@ def main():
         baseline_best = min(baseline_best, host_collect_time + host_cluster_time)
     baseline_reads_per_s = baseline_reads / baseline_best
 
-    # ---- array path: packed scan + device kernels ------------------------------
-    import jax
-    from svim_tpu.collect.packed import collect_signatures_from_bam
-
-    devices = jax.devices()
-    # warmup (compile)
-    collect_signatures_from_bam(bam_path, options)
-    best = float("inf")
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        _header, _packed, signatures, _twins = collect_signatures_from_bam(bam_path, options)
-        collect_time = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        run_cluster(signatures, options)
-        cluster_time = time.perf_counter() - t0
-        best = min(best, collect_time + cluster_time)
-    array_reads_per_s = N_READS / best
+    # ---- array path: packed scan + device kernels (watchdogged subprocess) -----
+    array = _run_array_subprocess(tmp_dir, bam_path, genome_path)
+    array_reads_per_s = N_READS / array["best_s"]
 
     result = {
         "metric": "aligned reads/s through signature extraction+clustering (1 chip: {0})".format(
-            devices[0].platform),
+            array["platform"]),
         "value": round(array_reads_per_s, 2),
         "unit": "reads/s",
         "vs_baseline": round(array_reads_per_s / baseline_reads_per_s, 2),
@@ -251,4 +298,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--array":
+        _array_measurement(sys.argv[2], sys.argv[3], sys.argv[4])
+    else:
+        main()
