@@ -37,11 +37,15 @@ GENOME_SPAN = max(12_000_000, N_READS * 6_000)
 
 def _noisy_cigar(rng, sv=None):
     """ONT-like CIGAR: many 1-8 bp indels; optionally one embedded SV op.
-    Returns (cigar, seq_len, ref_len, sv_seq_pos)."""
+    Returns (cigar, seq_len, ref_len, sv_seq_pos, ref_before_sv) where
+    ref_before_sv is the reference length consumed before the SV op — the
+    caller anchors the read so the SV lands at the locus position (real
+    variants have ONE genomic position; alignment jitter is small)."""
     parts = []
     seq_len = 0
     ref_len = 0
     sv_seq_pos = -1
+    ref_before_sv = -1
     half = READ_LENGTH_OPS // 2
     sv_at = rng.randint(half // 4, 3 * half // 4) if sv else -1
     for k in range(half):
@@ -52,6 +56,7 @@ def _noisy_cigar(rng, sv=None):
         if k == sv_at:
             op, length = sv
             parts.append("{0}{1}".format(length, op))
+            ref_before_sv = ref_len
             if op == "I":
                 sv_seq_pos = seq_len
                 seq_len += length
@@ -68,7 +73,7 @@ def _noisy_cigar(rng, sv=None):
     parts.append("20M")
     seq_len += 20
     ref_len += 20
-    return "".join(parts), seq_len, ref_len, sv_seq_pos
+    return "".join(parts), seq_len, ref_len, sv_seq_pos, ref_before_sv
 
 
 def make_workload(tmp_dir):
@@ -94,17 +99,20 @@ def make_workload(tmp_dir):
         records.append(parse_sam_line(line, header))
         read_number += 1
 
-    # deletion loci: COVERAGE reads sharing one D run (jittered size)
+    # deletion loci: COVERAGE reads sharing one D run (jittered size) at ONE
+    # genomic position (reads are anchored so the SV op lands on the locus)
     for locus in range(N_DEL_LOCI):
-        locus_pos = rng.randint(0, GENOME_SPAN)
+        locus_pos = rng.randint(100_000, GENOME_SPAN)
         size = rng.randint(60, 800)
         for _ in range(COVERAGE):
-            cigar, seq_len, _, _ = _noisy_cigar(rng, sv=("D", size + rng.randint(-3, 3)))
-            add_read(locus_pos + rng.randint(-300, 300), cigar, "A" * seq_len)
+            cigar, seq_len, _, _, ref_before = _noisy_cigar(
+                rng, sv=("D", size + rng.randint(-3, 3)))
+            add_read(locus_pos - ref_before + rng.randint(-10, 10), cigar,
+                     "A" * seq_len)
 
     # insertion loci: COVERAGE reads inserting noisy copies of a shared motif
     for locus in range(N_INS_LOCI):
-        locus_pos = rng.randint(0, GENOME_SPAN)
+        locus_pos = rng.randint(100_000, GENOME_SPAN)
         size = rng.randint(60, 500)
         motif = "".join(rng.choice("ACGT") for _ in range(size))
         for _ in range(COVERAGE):
@@ -112,14 +120,15 @@ def make_workload(tmp_dir):
             for _ in range(rng.randint(0, 4)):  # per-read sequencing noise
                 noisy[rng.randrange(len(noisy))] = rng.choice("ACGT")
             insert = "".join(noisy)
-            cigar, seq_len, _, sv_pos = _noisy_cigar(rng, sv=("I", len(insert)))
+            cigar, seq_len, _, sv_pos, ref_before = _noisy_cigar(
+                rng, sv=("I", len(insert)))
             seq = "A" * sv_pos + insert + "A" * (seq_len - sv_pos - len(insert))
-            add_read(locus_pos + rng.randint(-300, 300), cigar, seq)
+            add_read(locus_pos - ref_before + rng.randint(-10, 10), cigar, seq)
 
     # background reads (noise only) + occasional split reads
     n_background = max(0, N_READS - read_number)
     for i in range(n_background):
-        cigar, seq_len, _, _ = _noisy_cigar(rng)
+        cigar, seq_len, _, _, _ = _noisy_cigar(rng)
         tags = ""
         if i % 12 == 0:
             tags = "\tSA:Z:chr2,{0},+,{1}S{2}M,60,0;".format(
