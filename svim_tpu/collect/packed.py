@@ -229,12 +229,17 @@ def collect_signatures_from_bam(bam_path: str, options):
 
 def dispatch_collect_scan(packed, options):
     """Dispatch the fused geometry+events device pass WITHOUT waiting
-    (async): returns (device result tuple, max_events) for
+    (async): returns (rerun fn, device result tuple, max_events) for
     finish_collect_scan.  Lets a streaming caller overlap device compute with
     host-side work on the previous batch."""
     import jax.numpy as jnp
 
-    from svim_tpu.ops.cigar_kernel import _round_up_pow2, collect_scan
+    from svim_tpu.io.packing import encode_cigars_u8
+    from svim_tpu.ops.cigar_kernel import (
+        _round_up_pow2,
+        collect_scan,
+        collect_scan_u8,
+    )
 
     def transfer_words():
         """Halve the host->device traffic when every word fits uint16 (the
@@ -257,19 +262,41 @@ def dispatch_collect_scan(packed, options):
             ref_start = jax.device_put(
                 np.asarray(packed.ref_start, dtype=np.int32),
                 NamedSharding(mesh, P("data")))
+
+            def rerun(max_events):
+                return collect_scan(words_batch, ref_start,
+                                    jnp.int32(options.min_sv_size), max_events)
+
             max_events = _round_up_pow2(max(1024, packed.n * 4))
-            result = collect_scan(words_batch, ref_start,
-                                  jnp.int32(options.min_sv_size), max_events)
-            return (words_batch, ref_start, result, max_events)
-    if packed.device_cigars is not None:
-        words_batch = packed.device_cigars
-    else:
-        words_batch = jnp.asarray(transfer_words())
+            return (rerun, rerun(max_events), max_events)
+
     ref_start = jnp.asarray(np.asarray(packed.ref_start, dtype=np.int32))
     max_events = _round_up_pow2(max(1024, packed.n * 4))
-    result = collect_scan(words_batch, ref_start,
-                          jnp.int32(options.min_sv_size), max_events)
-    return (words_batch, ref_start, result, max_events)
+
+    device = packed.device_cigars
+    if device is None:
+        encoded = encode_cigars_u8(packed.cigar_words)
+        if encoded is not None:
+            device = tuple(jnp.asarray(part) for part in encoded)
+        else:
+            device = jnp.asarray(transfer_words())
+        packed.device_cigars = device
+
+    if isinstance(device, tuple):
+        words8, overflow_rows, overflow_cols, overflow_deltas = device
+
+        def rerun(max_events):
+            return collect_scan_u8(words8, overflow_rows, overflow_cols,
+                                   overflow_deltas, ref_start,
+                                   jnp.int32(options.min_sv_size), max_events)
+    else:
+        words_batch = device
+
+        def rerun(max_events):
+            return collect_scan(words_batch, ref_start,
+                                jnp.int32(options.min_sv_size), max_events)
+
+    return (rerun, rerun(max_events), max_events)
 
 
 def finish_collect_scan(packed, dispatched, options):
@@ -277,19 +304,17 @@ def finish_collect_scan(packed, dispatched, options):
     columns, return the compacted events (re-running with a larger bound on
     overflow)."""
     import jax
-    import jax.numpy as jnp
 
-    from svim_tpu.ops.cigar_kernel import _round_up_pow2, collect_scan
+    from svim_tpu.ops.cigar_kernel import _round_up_pow2
 
-    words_batch, ref_start, result, max_events = dispatched
+    rerun, result, max_events = dispatched
     while True:
         (ref_end, read_len, qa_start, qa_end, has_hard, rows, pos_ref,
          pos_read, lengths, is_ins, count) = jax.device_get(result)
         if count <= max_events:
             break
         max_events = _round_up_pow2(int(count))
-        result = collect_scan(words_batch, ref_start,
-                              jnp.int32(options.min_sv_size), max_events)
+        result = rerun(max_events)
     packed.ref_end = np.asarray(ref_end)
     packed.read_len = np.asarray(read_len)
     packed.qa_start = np.asarray(qa_start)

@@ -243,10 +243,17 @@ def build_packed(ref_id, ref_start, mapq, flag, cigar_words, names,
         mapq=mapq, flag=flag, qa_start=None, qa_end=None,
         read_len=None, cigar_words=cigar_words,
         names=names, sequences=sequences, records=None)
-    # ship uint16 words when every op length fits 12 bits (the common case):
-    # half the host->device traffic; the kernels upcast on device
-    device_words = cigar_words
-    if cigar_words.size and int(cigar_words.max()) < 65536:
-        device_words = cigar_words.astype(np.uint16)
-    packed.device_cigars = jnp.asarray(device_words)
+    # start the CIGAR transfer immediately (async) in the most compact
+    # encoding: uint8 words + sparse overflow deltas (quarter of int32), or
+    # uint16 when too many ops overflow; the kernels decode on device
+    from svim_tpu.io.packing import encode_cigars_u8
+
+    encoded = encode_cigars_u8(cigar_words) if cigar_words.size else None
+    if encoded is not None:
+        packed.device_cigars = tuple(jnp.asarray(part) for part in encoded)
+    else:
+        device_words = cigar_words
+        if cigar_words.size and int(cigar_words.max()) < 65536:
+            device_words = cigar_words.astype(np.uint16)
+        packed.device_cigars = jnp.asarray(device_words)
     return packed

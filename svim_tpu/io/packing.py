@@ -75,6 +75,36 @@ class PackedAlignments:
         return (self.flag & FSUPPLEMENTARY) != 0
 
 
+def encode_cigars_u8(cigar_words: np.ndarray):
+    """uint8 CIGAR transfer encoding: (len<<4 | op) with len saturated at 15,
+    plus a sparse (rows, cols, deltas) table for the ops whose length
+    exceeds 15 (typically ~2 per long read: the terminal match run and the
+    SV op).  Decode on device: lens = (w >> 4) + scatter_add(deltas).
+
+    Quarters the host->device traffic vs int32 (the dominant cost of the
+    device COLLECT pass over a bandwidth-limited link).  Returns None when
+    too many ops overflow for the encoding to pay off."""
+    lens = cigar_words >> 4
+    ops = cigar_words & 0xF
+    over = lens > 15
+    n_over = int(over.sum())
+    if n_over * 10 > cigar_words.size:
+        return None
+    words8 = (ops | (np.minimum(lens, 15) << 4)).astype(np.uint8)
+    rows, cols = np.nonzero(over)
+    deltas = (lens[rows, cols] - 15).astype(np.int32)
+    pad = 8
+    while pad < len(rows):
+        pad *= 2
+    rows_padded = np.zeros(pad, dtype=np.int32)
+    cols_padded = np.zeros(pad, dtype=np.int32)
+    deltas_padded = np.zeros(pad, dtype=np.int32)  # zero delta: harmless add
+    rows_padded[:len(rows)] = rows
+    cols_padded[:len(cols)] = cols
+    deltas_padded[:len(deltas)] = deltas
+    return words8, rows_padded, cols_padded, deltas_padded
+
+
 def pack_alignments(records: Sequence, pad_to: Optional[int] = None) -> PackedAlignments:
     """Pack AlignmentRecord objects into a PackedAlignments batch.
 

@@ -135,6 +135,23 @@ def collect_scan(cigar_words: jax.Array, ref_start: jax.Array,
     return geometry + events
 
 
+@partial(jax.jit, static_argnames=("max_events",))
+def collect_scan_u8(words8: jax.Array, overflow_rows: jax.Array,
+                    overflow_cols: jax.Array, overflow_deltas: jax.Array,
+                    ref_start: jax.Array, min_sv_size: jax.Array,
+                    max_events: int):
+    """collect_scan over the uint8 CIGAR transfer encoding
+    (io/packing.encode_cigars_u8): lengths saturate at 15 in the byte and
+    sparse deltas restore the long ops on device — a quarter of the int32
+    transfer."""
+    words = words8.astype(jnp.int32)
+    ops = words & 0xF
+    lens = (words >> 4).at[overflow_rows, overflow_cols].add(overflow_deltas)
+    geometry = _geometry(ops, lens, ref_start)
+    events = _compact_events(ops, lens, min_sv_size, max_events)
+    return geometry + events
+
+
 def _round_up_pow2(value: int) -> int:
     result = 1024
     while result < value:

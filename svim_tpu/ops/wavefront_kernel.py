@@ -347,7 +347,9 @@ def batched_edit_distance(pairs, initial_band: int = 64, band_hints=None,
         which matters when each compile pays a remote round trip."""
         subset = [pairs[idx] for idx in subset_indices]
         length = max(max(len(a), len(b)) for a, b in subset)
-        length = _pow4_at_least(max(length, 1), 512)
+        # pow2 buckets: the padded codes are most of the host->device
+        # traffic, so tighter buckets beat fewer compile variants
+        length = _pow2_at_least(max(length, 1), 512)
         band = min(band, length)  # a wider band than the strings is degenerate
         if use_pallas:
             # the Pallas grid iterates batch tiles inside ONE call, so big
