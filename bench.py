@@ -224,7 +224,7 @@ def _run_array_subprocess(tmp_dir, bam_path, genome_path):
     """Array measurement in a watchdogged subprocess; retries pinned to CPU
     if the device run hangs or dies, so the bench ALWAYS reports."""
     import subprocess
-    timeout_s = int(os.environ.get("SVIM_BENCH_ARRAY_TIMEOUT", "1200"))
+    timeout_s = int(os.environ.get("SVIM_BENCH_ARRAY_TIMEOUT", "2100"))
     for force_cpu in (False, True):
         env = dict(os.environ)
         if force_cpu:

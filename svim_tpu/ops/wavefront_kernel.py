@@ -355,7 +355,7 @@ def batched_edit_distance(pairs, initial_band: int = 64, band_hints=None,
             # the Pallas grid iterates batch tiles inside ONE call, so big
             # chunks cost no extra VMEM — they just amortize the per-call
             # dispatch (a full RPC on the tunneled TPU)
-            chunk_size = max(_pallas_tile_b(length, band), 2048)
+            chunk_size = max(_pallas_tile_b(length, band), 8192)
         else:
             chunk_size = _batch_chunk_for(band)
         answers = np.empty(len(subset), dtype=np.int64)
