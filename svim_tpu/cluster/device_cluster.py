@@ -215,19 +215,40 @@ def _consume_fused(pending):
     return results
 
 
+def _host_linkage_clusters(matrix, reads, survivors, threshold, wall_same_read):
+    """Exact float64 host linkage over an already-built (deduped) matrix —
+    identical math/order to the fallback path in cluster/cluster.py, reusing
+    the matrix instead of recomputing every pair distance."""
+    from scipy.cluster.hierarchy import linkage
+
+    if wall_same_read:
+        distances = accel.condensed_with_wall(matrix, reads, wall_same_read=True)
+    else:
+        distances = matrix[np.triu_indices(matrix.shape[0], k=1)]
+    dendrogram = linkage(distances, method="average")
+    labels = fcluster(dendrogram, threshold, criterion="distance")
+    return _group_survivors(survivors, labels)
+
+
 def _dispatch_matrix(samples, element_type, reference, options, ed_cache,
                      dedup_same_read=True):
     """INS / DUP_INT / BND (and the candidate round): host float64 matrix +
-    exact dedup, device agglomeration (kernels dispatched, not fetched)."""
+    exact dedup, device agglomeration (kernels dispatched, not fetched).
+
+    Partitions the device cannot arbitrate — walls surviving into linkage at
+    dispatch time, float32 ties at consume time — are resolved by exact host
+    linkage over the SAME float64 matrix (never rebuilt)."""
     threshold = float(options.cluster_max_distance)
     pending = PendingDeviceClusters(samples, threshold)
-    prepared = []   # (index, survivors, matrix_f32, dropped_count) per partition
+    # (index, survivors, matrix_f64, reads, dropped_count) per partition
+    prepared = []
     fallback = pending.ready
     for index, sample in enumerate(samples):
         matrix = accel.distance_matrix(sample, element_type, reference,
                                        options, ed_cache=ed_cache)
         dropped_count = 0
         survivors = sample
+        reads = None
         if dedup_same_read:
             reads = accel.read_index_array(sample)
             drop = accel.dedup_same_read(matrix, reads, threshold)
@@ -241,7 +262,8 @@ def _dispatch_matrix(samples, element_type, reference, options, ed_cache,
                 same = reads[:, None] == reads[None, :]
                 np.fill_diagonal(same, False)
                 if same.any():
-                    fallback[index] = DeviceClusterResult(None, 0)
+                    fallback[index] = DeviceClusterResult(_host_linkage_clusters(
+                        matrix, reads, survivors, threshold, True), dropped_count)
                     continue
         if len(survivors) == 1:
             fallback[index] = DeviceClusterResult([[survivors[0]]], dropped_count)
@@ -250,20 +272,21 @@ def _dispatch_matrix(samples, element_type, reference, options, ed_cache,
         if (matrix[off_diagonal] >= SAME_READ_WALL).any():
             # direction walls (BND) participate in above-cut averages that
             # float32 cannot order safely — host arbitrates those partitions
-            fallback[index] = DeviceClusterResult(None, 0)
+            fallback[index] = DeviceClusterResult(_host_linkage_clusters(
+                matrix, reads, survivors, threshold, dedup_same_read),
+                dropped_count)
             continue
-        prepared.append((index, survivors, matrix.astype(np.float32),
-                         dropped_count))
+        prepared.append((index, survivors, matrix, reads, dropped_count))
 
     by_bucket = {}
-    for position, (index, survivors, matrix, dropped_count) in enumerate(prepared):
-        by_bucket.setdefault(_bucket(len(survivors)), []).append(position)
+    for position, entry in enumerate(prepared):
+        by_bucket.setdefault(_bucket(len(entry[1])), []).append(position)
     for pad, positions in sorted(by_bucket.items()):
         batch = _round_up_pow2(len(positions))
         matrices = np.full((batch, pad, pad), 3.0e38, dtype=np.float32)
         valid = np.zeros((batch, pad), dtype=bool)
         for row, position in enumerate(positions):
-            _, survivors, matrix, _ = prepared[position]
+            _, survivors, matrix, _, _ = prepared[position]
             n = len(survivors)
             matrices[row, :n, :n] = matrix
             valid[row, :n] = True
@@ -276,7 +299,7 @@ def _dispatch_matrix(samples, element_type, reference, options, ed_cache,
     return pending
 
 
-def _consume_matrix(pending):
+def _consume_matrix(pending, wall_same_read=True):
     results = dict(pending.ready)
     threshold = pending.threshold
     for positions, prepared, outputs in pending.matrix:
@@ -284,14 +307,20 @@ def _consume_matrix(pending):
 
         merges_lo, merges_hi, heights, min_gap = jax.device_get(outputs)
         for row, position in enumerate(positions):
-            index, survivors, _, dropped_count = prepared[position]
+            index, survivors, matrix, reads, dropped_count = prepared[position]
             if float(min_gap[row]) < TIE_EPS:
-                results[index] = DeviceClusterResult(None, 0)
-                continue
-            labels = labels_from_merges(merges_lo[row], merges_hi[row],
-                                        heights[row], len(survivors), threshold)
+                labels = None
+            else:
+                labels = labels_from_merges(merges_lo[row], merges_hi[row],
+                                            heights[row], len(survivors),
+                                            threshold)
             if labels is None:
-                results[index] = DeviceClusterResult(None, 0)
+                # float32 could not arbitrate: exact host linkage over the
+                # float64 matrix built at dispatch (no recomputation)
+                clusters = _host_linkage_clusters(
+                    matrix, reads, survivors, threshold,
+                    wall_same_read and reads is not None)
+                results[index] = DeviceClusterResult(clusters, dropped_count)
                 continue
             results[index] = DeviceClusterResult(
                 _group_survivors(survivors, labels), dropped_count)
@@ -336,4 +365,5 @@ def cluster_candidates_device(samples: List[list], options):
     """Device agglomeration for the second DUP_INT candidate round
     (reference: SVIM_clustering.py:306-372 — no dedup, no walls)."""
     return _consume_matrix(_dispatch_matrix(samples, "DUP_INT", None, options,
-                                            None, dedup_same_read=False))
+                                            None, dedup_same_read=False),
+                           wall_same_read=False)

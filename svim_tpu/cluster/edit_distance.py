@@ -83,7 +83,7 @@ def batch_edit_distances(pairs, backend: str = "auto", band_hints=None):
         try:
             from svim_tpu.native import aligner, get_library
             if get_library() is not None:
-                return aligner.edit_distance_batch(pairs)
+                return aligner.edit_distance_batch(pairs, band_hints=band_hints)
         except Exception:
             pass
     return [edit_distance(a, b) for a, b in pairs]

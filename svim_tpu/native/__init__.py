@@ -72,6 +72,11 @@ def get_library():
         lib.edit_distance_batch.argtypes = [
             ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int]
+        lib.edit_distance_batch_hinted.restype = ctypes.c_int
+        lib.edit_distance_batch_hinted.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int]
         lib.bgzf_uncompressed_size.restype = ctypes.c_int64
         lib.bgzf_uncompressed_size.argtypes = [ctypes.c_char_p, ctypes.c_int64]
         lib.bgzf_decompress.restype = ctypes.c_int
@@ -145,8 +150,12 @@ class aligner:
                                           b_bytes, len(b_bytes)))
 
     @staticmethod
-    def edit_distance_batch(pairs, n_threads: int = 0):
-        """Exact distances for many (a, b) pairs across a thread pool."""
+    def edit_distance_batch(pairs, n_threads: int = 0, band_hints=None):
+        """Exact distances for many (a, b) pairs across a thread pool.
+
+        band_hints: optional per-pair proven upper bounds on the distance —
+        caps the band-doubling search (still exact; a wrong hint only costs
+        a fallback pass)."""
         import numpy as np
 
         lib = get_library()
@@ -179,8 +188,14 @@ class aligner:
         def ptr(array):
             return array.ctypes.data_as(ctypes.c_void_p)
 
-        lib.edit_distance_batch(blob, ptr(a_off), ptr(a_len), ptr(b_off),
-                                ptr(b_len), len(pairs), ptr(out), n_threads)
+        if band_hints is not None:
+            hints = np.asarray(band_hints, dtype=np.int64)
+            lib.edit_distance_batch_hinted(
+                blob, ptr(a_off), ptr(a_len), ptr(b_off), ptr(b_len),
+                ptr(hints), len(pairs), ptr(out), n_threads)
+        else:
+            lib.edit_distance_batch(blob, ptr(a_off), ptr(a_len), ptr(b_off),
+                                    ptr(b_len), len(pairs), ptr(out), n_threads)
         return out.tolist()
 
     @staticmethod

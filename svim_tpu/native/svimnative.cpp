@@ -533,26 +533,60 @@ static int64_t banded_levenshtein(const uint8_t* a, int64_t m,
 int64_t myers_distance(const uint8_t* pattern, int64_t m,
                        const uint8_t* text, int64_t n);
 
-// Output-sensitive exact Levenshtein: a cheap 64-wide band first (resolves
-// similar pairs at ~2 ops/cell), then the full bit-parallel recurrence
-// (64 cells/word beats any wider scalar band).
+// Exact Levenshtein, output-sensitive:
+//   1. strip the common prefix and suffix (distance-preserving for unit
+//      costs; clustering haplotype pairs share long reference padding and
+//      motif runs, so this removes most of the DP area);
+//   2. banded DP with band doubling while the band stays cheaper than the
+//      bit-parallel recurrence;
+//   3. full Myers otherwise (64 cells/word).
+// `hint` > 0 is a caller-proven upper bound on the distance: a banded pass
+// at band >= hint is exact, so doubling never overshoots it.
+static int64_t edit_distance_adaptive(const uint8_t* a, int64_t m,
+                                      const uint8_t* b, int64_t n,
+                                      int64_t hint) {
+  while (m > 0 && n > 0 && *a == *b) { ++a; ++b; --m; --n; }
+  while (m > 0 && n > 0 && a[m - 1] == b[n - 1]) { --m; --n; }
+  if (m == 0) return n;
+  if (n == 0) return m;
+  const int64_t diff = m > n ? m - n : n - m;
+  const int64_t shorter = m < n ? m : n;
+  // cost model (measured on this box): one banded row costs ~(2*band+1)
+  // bounds-checked cells; one Myers row costs ~ceil(shorter/64) words at
+  // roughly 6 cells' worth of work each — double the band only while the
+  // banded pass stays cheaper than the guaranteed bit-parallel pass.
+  int64_t band_cap = ((shorter + 63) / 64) * 6;
+  if (band_cap < 64) band_cap = 64;
+  if (hint > 0 && hint < band_cap) band_cap = hint;
+  int64_t band = 16;
+  while (band < diff) band <<= 1;
+  for (; band < band_cap; band <<= 1) {
+    int64_t d = banded_levenshtein(a, m, b, n, band);
+    if (d >= 0) return d;
+  }
+  {
+    int64_t d = banded_levenshtein(a, m, b, n, band_cap);
+    if (d >= 0) return d;
+  }
+  return myers_distance(a, m, b, n);
+}
+
 int64_t edit_distance_fast(const uint8_t* a, int64_t m,
                            const uint8_t* b, int64_t n) {
   if (m == 0) return n;
   if (n == 0) return m;
-  int64_t d = banded_levenshtein(a, m, b, n, 64);
-  if (d >= 0) return d;
-  return myers_distance(a, m, b, n);
+  return edit_distance_adaptive(a, m, b, n, 0);
 }
 
 // Batched edit distance across a thread pool: one call for all near pairs of
 // a clustering pass (the reference is single-threaded by design,
 // README.rst:73 — scaling the host inner loop across cores is part of what
 // this framework adds).
-int edit_distance_batch(const char* blob,
-                        const int64_t* a_off, const int64_t* a_len,
-                        const int64_t* b_off, const int64_t* b_len,
-                        int64_t n, int64_t* out, int n_threads) {
+int edit_distance_batch_hinted(const char* blob,
+                               const int64_t* a_off, const int64_t* a_len,
+                               const int64_t* b_off, const int64_t* b_len,
+                               const int64_t* hints,
+                               int64_t n, int64_t* out, int n_threads) {
   if (n_threads < 1) n_threads = 1;
   auto worker = [&](int worker_id) {
     for (int64_t i = worker_id; i < n; i += n_threads) {
@@ -563,9 +597,7 @@ int edit_distance_batch(const char* blob,
         out[i] = m > nn ? m : nn;
         continue;
       }
-      int64_t d = banded_levenshtein(a, m, b, nn, 64);
-      if (d < 0) d = myers_distance(a, m, b, nn);
-      out[i] = d;
+      out[i] = edit_distance_adaptive(a, m, b, nn, hints ? hints[i] : 0);
     }
   };
   std::vector<std::thread> threads;
@@ -573,6 +605,14 @@ int edit_distance_batch(const char* blob,
   worker(0);
   for (auto& thread : threads) thread.join();
   return 0;
+}
+
+int edit_distance_batch(const char* blob,
+                        const int64_t* a_off, const int64_t* a_len,
+                        const int64_t* b_off, const int64_t* b_len,
+                        int64_t n, int64_t* out, int n_threads) {
+  return edit_distance_batch_hinted(blob, a_off, a_len, b_off, b_len, nullptr,
+                                    n, out, n_threads);
 }
 
 // Myers bit-parallel Levenshtein distance over 64-bit words (edlib's role,
