@@ -32,7 +32,8 @@ def main():
     for round_no in range(3):
         t = {}
         t0 = time.perf_counter()
-        header2, packed, sa_tags = scan_bam(bam_path, options.min_mapq)
+        header2, packed, sa_tags = scan_bam(bam_path, options.min_mapq,
+                                           options.min_sv_size)
         t["scan_pack"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()

@@ -84,7 +84,7 @@ def collect_signatures_packed(bam, options):
             and record.mapping_quality >= options.min_mapq]
     if not keep:
         return [], []
-    packed = pack_alignments(keep)
+    packed = pack_alignments(keep, min_sv_size=options.min_sv_size)
     sa_tags = [record.get_tag("SA") if record.has_tag("SA") else None
                for record in keep]
     return signatures_from_packed(packed, sa_tags, bam, options)
@@ -114,7 +114,7 @@ def collect_signatures_packed_querysorted(bam, options):
         group_sizes.append(1 + len(good_suppl))
     if not keep_records:
         return [], []
-    packed = pack_alignments(keep_records)
+    packed = pack_alignments(keep_records, min_sv_size=options.min_sv_size)
     return _signatures_from_grouped_packed(packed, group_sizes, bam, options)
 
 
@@ -222,7 +222,8 @@ def collect_signatures_from_bam(bam_path: str, options):
         from svim_tpu.io.bamstream import collect_streaming
         return collect_streaming(bam_path, options)
     from svim_tpu.io.bamscan import scan_bam
-    header, packed, sa_tags = scan_bam(bam_path, options.min_mapq)
+    header, packed, sa_tags = scan_bam(bam_path, options.min_mapq,
+                                       options.min_sv_size)
     signatures, twins = signatures_from_packed(packed, sa_tags, header, options)
     return header, packed, signatures, twins
 

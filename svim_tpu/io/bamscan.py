@@ -95,12 +95,14 @@ def _find_sa_tag(data: bytes, tag_start: int, tag_end: int) -> Optional[str]:
     return None
 
 
-def scan_bam(filename: str, min_mapq: int = 0):
+def scan_bam(filename: str, min_mapq: int = 0, min_sv_size: int = 0):
     """Scan a BAM file into (AlignmentHeader, PackedAlignments, sa_tags).
 
     Only records passing the COLLECT filter (mapped, not secondary,
     mapq >= min_mapq) are packed — same filter as SVIM_COLLECT.py:143.
-    sa_tags[i] is the SA string of row i or None.
+    sa_tags[i] is the SA string of row i or None.  min_sv_size > 0 enables
+    CIGAR compaction (io/packing.compact_cigar_row): the padded batch is
+    sized from compacted op counts, shrinking the device transfer ~100x.
     """
     with open(filename, "rb") as handle:
         compressed = handle.read()
@@ -112,7 +114,7 @@ def scan_bam(filename: str, min_mapq: int = 0):
         data = None
     if data is None:
         data = gzip.decompress(compressed)
-    return scan_bam_bytes(data, min_mapq)
+    return scan_bam_bytes(data, min_mapq, min_sv_size)
 
 
 class LazyStrings:
@@ -134,13 +136,14 @@ class LazyStrings:
         return self._data[offset:offset + int(self._lengths[row])].decode()
 
 
-def scan_bam_bytes(data: bytes, min_mapq: int = 0):
+def scan_bam_bytes(data: bytes, min_mapq: int = 0, min_sv_size: int = 0):
     if data[:4] != b"BAM\x01":
         raise ValueError("not a BAM stream")
     # native fast path: C++ record walk straight into packed columns
     try:
         from svim_tpu import native
-        result = native.bamscan_native(data, min_mapq, bucket_size)
+        result = native.bamscan_native(data, min_mapq, bucket_size,
+                                       min_sv_size)
     except Exception:
         result = None
     if result is not None:
@@ -217,6 +220,11 @@ def scan_bam_bytes(data: bytes, min_mapq: int = 0):
         if op_count:
             cigar_words[row, :op_count] = np.frombuffer(
                 data, dtype="<i4", count=op_count, offset=cigar_offset)
+    if min_sv_size > 0:
+        from svim_tpu.io.packing import compact_cigar_words
+        compacted = compact_cigar_words(cigar_words, min_sv_size)
+        if compacted is not None:
+            cigar_words = compacted
 
     packed = build_packed(
         np.asarray(ref_id_list, dtype=np.int32),

@@ -122,7 +122,8 @@ def peek_bam_header(path: str):
     raise ValueError("could not parse BAM header from the leading blocks")
 
 
-def stream_bam(path: str, min_mapq: int, batch_reads: int = 4096):
+def stream_bam(path: str, min_mapq: int, batch_reads: int = 4096,
+               min_sv_size: int = 0):
     """Yield the header, then StreamedBatch objects.
 
     Returns a generator whose first item is the AlignmentHeader and whose
@@ -176,7 +177,7 @@ def stream_bam(path: str, min_mapq: int, batch_reads: int = 4096):
         nonlocal rows, max_ops, row_offset
         if not rows:
             return None
-        batch = _pack_rows(rows, max_ops, buffer, row_offset)
+        batch = _pack_rows(rows, max_ops, buffer, row_offset, min_sv_size)
         row_offset += len(rows)
         rows = []
         max_ops = 1
@@ -340,11 +341,43 @@ def _parse_header(buffer):
     return header, offset
 
 
-def _pack_rows(rows, max_ops, buffer, row_offset) -> StreamedBatch:
+def _pack_rows(rows, max_ops, buffer, row_offset,
+               min_sv_size: int = 0) -> StreamedBatch:
     n_real = len(rows)
     n_pad = _row_bucket(n_real)
     k = bucket_size(max_ops)
-    cigar_words = np.zeros((n_pad, k), dtype=np.int32)
+    cigar_words = None
+    if min_sv_size > 0 and n_real:
+        # native batch compaction straight from the window bytes: the padded
+        # batch is sized from compacted op counts (typically K=32, not 8192)
+        try:
+            from svim_tpu import native
+            compact = native.cigar_compact_rows(
+                buffer,
+                [r[5] for r in rows], [r[6] for r in rows],
+                min_sv_size, bucket_size)
+        except Exception:
+            compact = None
+        if compact is not None:
+            k = compact.shape[1]
+            cigar_words = np.zeros((n_pad, k), dtype=np.int32)
+            cigar_words[:n_real] = compact
+    if cigar_words is None:
+        cigar_words = np.zeros((n_pad, k), dtype=np.int32)
+        if min_sv_size > 0:
+            from svim_tpu.io.packing import compact_cigar_row
+        for row, (_r_id, _pos, _mapq, _flag, _name, cigar_offset, n_cigar,
+                  _s_off, _l_seq, _sa) in enumerate(rows):
+            if not n_cigar:
+                continue
+            words = np.frombuffer(buffer, dtype="<i4", count=n_cigar,
+                                  offset=cigar_offset)
+            if min_sv_size > 0:
+                compacted_row = compact_cigar_row(words, min_sv_size)
+                if compacted_row is not None:
+                    cigar_words[row, :len(compacted_row)] = compacted_row
+                    continue
+            cigar_words[row, :n_cigar] = words
     ref_id = np.full(n_pad, -1, dtype=np.int32)
     ref_start = np.zeros(n_pad, dtype=np.int32)
     mapq = np.zeros(n_pad, dtype=np.int32)
@@ -353,16 +386,13 @@ def _pack_rows(rows, max_ops, buffer, row_offset) -> StreamedBatch:
     seq_off = np.zeros(n_pad, dtype=np.int64)
     seq_len = np.zeros(n_pad, dtype=np.int64)
     sa_tags: List[Optional[str]] = [None] * n_pad
-    for row, (r_id, pos, r_mapq, r_flag, name, cigar_offset, n_cigar,
+    for row, (r_id, pos, r_mapq, r_flag, name, _cigar_offset, _n_cigar,
               s_off, l_seq, sa) in enumerate(rows):
         ref_id[row] = r_id
         ref_start[row] = pos
         mapq[row] = r_mapq
         flag[row] = r_flag
         names[row] = name
-        if n_cigar:
-            cigar_words[row, :n_cigar] = np.frombuffer(
-                buffer, dtype="<i4", count=n_cigar, offset=cigar_offset)
         seq_off[row] = s_off
         seq_len[row] = l_seq
         sa_tags[row] = sa
@@ -407,7 +437,8 @@ def collect_streaming(path: str, options):
     Returns (header, GenotypeTable, signatures, twins)."""
     from svim_tpu.collect.packed import dispatch_collect_scan, signatures_from_packed
 
-    stream = _prefetch(stream_bam(path, options.min_mapq, options.batch_reads),
+    stream = _prefetch(stream_bam(path, options.min_mapq, options.batch_reads,
+                                  min_sv_size=options.min_sv_size),
                        depth=2)
     header = next(stream)
     signatures = []

@@ -91,7 +91,16 @@ def get_library():
         lib.bam_count.restype = ctypes.c_int
         lib.bam_count.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+        lib.cigar_compact_counts.restype = ctypes.c_int
+        lib.cigar_compact_counts.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_void_p]
+        lib.cigar_compact_fill.restype = ctypes.c_int
+        lib.cigar_compact_fill.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_void_p]
         lib.bam_carve_window.restype = ctypes.c_int
         lib.bam_carve_window.argtypes = (
             [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
@@ -100,7 +109,7 @@ def get_library():
         lib.bam_fill.restype = ctypes.c_int
         lib.bam_fill.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
-            ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
@@ -300,9 +309,47 @@ def bgzf_decompress_parallel(data: bytes, n_threads: int = 0):
     return out.raw
 
 
-def bamscan_native(data: bytes, min_mapq: int, bucket_size_fn):
+def cigar_compact_rows(buffer, cigar_off, n_cigar, min_sv_size: int,
+                       bucket_size_fn):
+    """Batch CIGAR compaction over raw BAM bytes: two native passes (counts,
+    then fill into a bucket-padded batch).  Returns the (N, K) int32 array or
+    None when the library is unavailable or compaction would not shrink the
+    batch below the raw bucket."""
+    import numpy as np
+
+    lib = get_library()
+    if lib is None or min_sv_size <= 0:
+        return None
+    n = len(cigar_off)
+    if n == 0:
+        return None
+    off = np.ascontiguousarray(cigar_off, dtype=np.int64)
+    ops = np.ascontiguousarray(n_cigar, dtype=np.int32)
+
+    def ptr(array):
+        return array.ctypes.data_as(ctypes.c_void_p)
+
+    counts = np.empty(n, dtype=np.int32)
+    lib.cigar_compact_counts(buffer, ptr(off), ptr(ops), n, min_sv_size,
+                             ptr(counts))
+    k = bucket_size_fn(max(1, int(counts.max())))
+    if k >= bucket_size_fn(max(1, int(ops.max()))):
+        return None
+    out = np.zeros((n, k), dtype=np.int32)
+    lib.cigar_compact_fill(buffer, ptr(off), ptr(ops), n, min_sv_size, k,
+                           ptr(out))
+    return out
+
+
+def bamscan_native(data: bytes, min_mapq: int, bucket_size_fn,
+                   min_sv_size: int = 0):
     """Scan uncompressed BAM bytes natively.  Returns the same tuple layout as
-    the Python scanner core, or None when the library is unavailable."""
+    the Python scanner core, or None when the library is unavailable.
+
+    min_sv_size > 0 enables CIGAR compaction during the fill (sub-threshold
+    op runs collapse into synthetic advance ops — see
+    io/packing.compact_cigar_row): the padded batch is sized from the
+    compacted op counts, typically (N, 32) instead of (N, 8192)."""
     import numpy as np
 
     lib = get_library()
@@ -328,7 +375,7 @@ def bamscan_native(data: bytes, min_mapq: int, bucket_size_fn):
 
     n_out = ctypes.c_int64(0)
     max_ops_out = ctypes.c_int64(0)
-    if lib.bam_count(data, len(data), body_offset, min_mapq,
+    if lib.bam_count(data, len(data), body_offset, min_mapq, min_sv_size,
                      ctypes.byref(n_out), ctypes.byref(max_ops_out)) != 0:
         raise ValueError("truncated BAM stream")
     n = n_out.value
@@ -349,7 +396,7 @@ def bamscan_native(data: bytes, min_mapq: int, bucket_size_fn):
     def ptr(array):
         return array.ctypes.data_as(ctypes.c_void_p)
 
-    if lib.bam_fill(data, len(data), body_offset, min_mapq, k,
+    if lib.bam_fill(data, len(data), body_offset, min_mapq, min_sv_size, k,
                     ptr(cigar_words), ptr(ref_id), ptr(pos),
                     ptr(mapq), ptr(flag), ptr(name_off), ptr(name_len),
                     ptr(seq_off), ptr(seq_len), ptr(sa_off), ptr(sa_len)) != 0:

@@ -172,10 +172,17 @@ static int64_t find_sa(const uint8_t* data, int64_t p, int64_t end) {
   return -1;
 }
 
-// Count records passing the filter; report max cigar op count.
+// forward declaration (defined with the other CIGAR compaction routines)
+static int64_t cigar_compact_core(const uint8_t* cigar, int64_t n_cigar,
+                                  int32_t thr, int32_t* out, int64_t cap);
+
+// Count records passing the filter; report max cigar op count.  When
+// min_sv_size > 0 the count reflects CIGAR compaction (see
+// cigar_compact_core) so the padded batch can be sized compact.
 // Returns 0 on success, -1 on truncated input.
 int bam_count(const uint8_t* data, int64_t size, int64_t body_offset,
-              int min_mapq, int64_t* out_n, int64_t* out_max_ops) {
+              int min_mapq, int32_t min_sv_size,
+              int64_t* out_n, int64_t* out_max_ops) {
   int64_t off = body_offset;
   int64_t n = 0;
   int64_t max_ops = 1;
@@ -189,7 +196,14 @@ int bam_count(const uint8_t* data, int64_t size, int64_t body_offset,
     uint16_t flag = rd_u16(r + 14);
     if ((flag & (kFUnmap | kFSecondary)) == 0 && mapq >= min_mapq) {
       n++;
-      if (n_cigar > max_ops) max_ops = n_cigar;
+      int64_t final_ops = n_cigar;
+      if (min_sv_size > 0 && n_cigar > 0) {
+        uint8_t l_read_name = r[8];
+        int64_t c = cigar_compact_core(r + 32 + l_read_name, n_cigar,
+                                       min_sv_size, nullptr, 0);
+        if (c >= 0) final_ops = c;
+      }
+      if (final_ops > max_ops) max_ops = final_ops;
     }
     off += block;
   }
@@ -202,7 +216,7 @@ int bam_count(const uint8_t* data, int64_t size, int64_t body_offset,
 // encoding (caller-zeroed).  name/seq/sa offsets address into `data`; sa_off
 // is -1 when absent.
 int bam_fill(const uint8_t* data, int64_t size, int64_t body_offset,
-             int min_mapq, int64_t k,
+             int min_mapq, int32_t min_sv_size, int64_t k,
              int32_t* cigar_words,
              int32_t* ref_id, int32_t* pos, int32_t* mapq_out,
              int32_t* flag_out,
@@ -230,8 +244,20 @@ int bam_fill(const uint8_t* data, int64_t size, int64_t body_offset,
       name_off[row] = p;
       name_len[row] = l_read_name - 1;
       p += l_read_name;
-      int64_t ops_to_copy = n_cigar < k ? n_cigar : k;
-      std::memcpy(cigar_words + row * k, data + p, 4 * ops_to_copy);
+      int64_t written = -1;
+      if (min_sv_size > 0 && n_cigar > 0) {
+        written = cigar_compact_core(data + p, n_cigar, min_sv_size,
+                                     cigar_words + row * k, k);
+        if (written < 0 || written > k) {
+          // raw row (or inconsistent sizing): clear partial compact writes
+          std::memset(cigar_words + row * k, 0, sizeof(int32_t) * (size_t)k);
+          written = -1;
+        }
+      }
+      if (written < 0) {
+        int64_t ops_to_copy = n_cigar < k ? n_cigar : k;
+        std::memcpy(cigar_words + row * k, data + p, 4 * ops_to_copy);
+      }
       p += 4 * (int64_t)n_cigar;
       seq_off[row] = p;
       seq_len[row] = l_seq;
@@ -322,6 +348,142 @@ int bam_carve_window(const uint8_t* data, int64_t size, int64_t start,
   *consumed = off;
   *exhausted = (off >= size) ? 1 : 0;
   return (int)n;
+}
+
+// ---------------------------------------------------------------------------
+// CIGAR compaction (io/packing.compact_cigar_row is the Python reference)
+// ---------------------------------------------------------------------------
+//
+// Runs of sub-threshold ops between SV events collapse into synthetic
+// advance ops understood by ops/cigar_kernel:
+//   code 9  — reference advance (scan pos_ref AND geometry ref_end)
+//   code 10 — read advance (scan pos_read AND geometry query length)
+// with N runs merged into one N (geometry-only ref advance) and leading /
+// trailing clip runs kept literal (qa bounds / read length).  Every quantity
+// the device kernels derive is preserved exactly; the padded batch shrinks
+// from (N, 8192) to (N, ~32) — the host->device transfer is the dominant
+// COLLECT cost over a bandwidth-limited link.
+
+static const int32_t kOpRefAdvance = 9;
+static const int32_t kOpReadAdvance = 10;
+static const int64_t kCigarLenMax = (1 << 27) - 1;  // len<<4|op stays int32
+
+// Emits into `out` when non-null (at most `cap` words are written; the
+// count keeps going so callers can detect no-shrink rows); returns the
+// compact word count, or -1 when the row must keep its raw words (unknown
+// op code, or compaction does not shrink it).
+static int64_t cigar_compact_core(const uint8_t* cigar, int64_t n_cigar,
+                                  int32_t thr, int32_t* out, int64_t cap) {
+  int64_t lo = 0;
+  while (lo < n_cigar) {
+    uint32_t w = rd_u32(cigar + 4 * lo);
+    uint32_t op = w & 0xF;
+    if ((w >> 4) == 0 || op == 4 || op == 5) lo++;
+    else break;
+  }
+  int64_t hi = n_cigar;
+  while (hi > lo) {
+    uint32_t w = rd_u32(cigar + 4 * (hi - 1));
+    uint32_t op = w & 0xF;
+    if ((w >> 4) == 0 || op == 4 || op == 5) hi--;
+    else break;
+  }
+  int64_t count = 0;
+  auto emit = [&](int64_t len, int32_t op) {
+    if (out && count < cap) out[count] = (int32_t)((len << 4) | op);
+    count++;
+  };
+  for (int64_t i = 0; i < lo; i++) {
+    uint32_t w = rd_u32(cigar + 4 * i);
+    if (w >> 4) emit(w >> 4, w & 0xF);
+  }
+  int64_t ref_acc = 0, read_acc = 0, skip_acc = 0;
+  auto flush = [&]() {
+    while (ref_acc > 0) {
+      int64_t piece = ref_acc < kCigarLenMax ? ref_acc : kCigarLenMax;
+      emit(piece, kOpRefAdvance);
+      ref_acc -= piece;
+    }
+    while (skip_acc > 0) {
+      int64_t piece = skip_acc < kCigarLenMax ? skip_acc : kCigarLenMax;
+      emit(piece, 3);
+      skip_acc -= piece;
+    }
+    while (read_acc > 0) {
+      int64_t piece = read_acc < kCigarLenMax ? read_acc : kCigarLenMax;
+      emit(piece, kOpReadAdvance);
+      read_acc -= piece;
+    }
+  };
+  for (int64_t i = lo; i < hi; i++) {
+    uint32_t w = rd_u32(cigar + 4 * i);
+    uint32_t op = w & 0xF;
+    int64_t len = w >> 4;
+    if (len == 0) continue;
+    switch (op) {
+      case 6:
+        emit(len, 6);     // nonzero P: nonclip in geometry, keep literal
+        break;
+      case 0: case 7: case 8:
+        ref_acc += len;
+        read_acc += len;
+        break;
+      case 2:
+        if (len >= thr) { flush(); emit(len, 2); } else ref_acc += len;
+        break;
+      case 1:
+        if (len >= thr) { flush(); emit(len, 1); } else read_acc += len;
+        break;
+      case 4:
+        read_acc += len;  // interior soft clip: read advance only
+        break;
+      case 3:
+        skip_acc += len;
+        break;
+      case 5:
+        emit(len, 5);     // interior hard clip (invalid SAM): literal
+        break;
+      default:
+        return -1;        // unknown op code: keep the raw row
+    }
+  }
+  flush();
+  for (int64_t i = hi; i < n_cigar; i++) {
+    uint32_t w = rd_u32(cigar + 4 * i);
+    if (w >> 4) emit(w >> 4, w & 0xF);
+  }
+  if (count >= n_cigar) return -1;
+  return count;
+}
+
+// Pass 1: per-row final word count (compact count, or the raw count when
+// the row keeps its raw words).
+int cigar_compact_counts(const uint8_t* data, const int64_t* cigar_off,
+                         const int32_t* n_cigar, int64_t n, int32_t thr,
+                         int32_t* counts) {
+  for (int64_t i = 0; i < n; i++) {
+    int64_t c = cigar_compact_core(data + cigar_off[i], n_cigar[i], thr,
+                                   nullptr, 0);
+    counts[i] = (int32_t)(c < 0 ? n_cigar[i] : c);
+  }
+  return 0;
+}
+
+// Pass 2: fill a zeroed (n, k) int32 batch with compacted (or raw) rows.
+int cigar_compact_fill(const uint8_t* data, const int64_t* cigar_off,
+                       const int32_t* n_cigar, int64_t n, int32_t thr,
+                       int64_t k, int32_t* out) {
+  for (int64_t i = 0; i < n; i++) {
+    int32_t* row = out + i * k;
+    int64_t c = cigar_compact_core(data + cigar_off[i], n_cigar[i], thr, row,
+                                   k);
+    if (c < 0 || c > k) {
+      int64_t copy = n_cigar[i] < k ? n_cigar[i] : k;
+      std::memset(row, 0, sizeof(int32_t) * (size_t)k);
+      std::memcpy(row, data + cigar_off[i], 4 * copy);
+    }
+  }
+  return 0;
 }
 
 // ---------------------------------------------------------------------------

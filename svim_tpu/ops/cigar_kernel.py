@@ -8,6 +8,17 @@ splitting, minimal transfer.  Exclusive cumulative sums give the
 reference/read offset at every op; masked compares select the I/D runs
 >= min_sv_size; the sparse events are compacted ON DEVICE so only a few KB
 return to the host.
+
+Synthetic op codes (produced by host-side CIGAR compaction,
+io/packing.compact_cigar_row / native cigar compaction): runs of
+sub-threshold ops between SV events collapse into
+  code 9  — reference advance (scan pos_ref AND geometry ref_end), and
+  code 10 — read advance (scan pos_read AND geometry query length);
+N runs merge into a single N (geometry-only reference advance, matching
+pysam reference_end vs the scan's D-only advance — SVIM_intra.py:14-29
+ignores N).  Neither synthetic code can become an event.  Compaction
+shrinks (N, 8192) batches to (N, ~32) — the host->device transfer is the
+dominant COLLECT cost over a bandwidth-limited link.
 """
 
 from __future__ import annotations
@@ -31,8 +42,9 @@ def _decode(cigar_words: jax.Array):
 
 def _scan(ops, lens, min_sv_size):
     is_match = (ops == 0) | (ops == 7) | (ops == 8)
-    ref_advance = jnp.where(is_match | (ops == 2), lens, 0)
-    read_advance = jnp.where(is_match | (ops == 1) | (ops == 4), lens, 0)
+    ref_advance = jnp.where(is_match | (ops == 2) | (ops == 9), lens, 0)
+    read_advance = jnp.where(is_match | (ops == 1) | (ops == 4) | (ops == 10),
+                             lens, 0)
     pos_ref = jnp.cumsum(ref_advance, axis=1) - ref_advance
     pos_read = jnp.cumsum(read_advance, axis=1) - read_advance
     large = lens >= min_sv_size
@@ -65,8 +77,8 @@ def _geometry(ops, lens, ref_start):
     inferred read length incl. hard clips, query-alignment bounds (soft clips
     only), and hard-clip presence."""
     is_match = (ops == 0) | (ops == 7) | (ops == 8)
-    ref_consuming = is_match | (ops == 2) | (ops == 3)
-    query_consuming = is_match | (ops == 1) | (ops == 4)
+    ref_consuming = is_match | (ops == 2) | (ops == 3) | (ops == 9)
+    query_consuming = is_match | (ops == 1) | (ops == 4) | (ops == 10)
     soft = (ops == 4) & (lens > 0)
     hard = (ops == 5) & (lens > 0)
 
