@@ -65,20 +65,23 @@ def batch_edit_distances(pairs, backend: str = "auto", band_hints=None):
                                      band_hints=band_hints)
     if backend == "python":
         return [edit_distance_py(a, b) for a, b in pairs]
-    if backend == "auto" and len(pairs) >= 64 and _tpu_available():
-        # measured on the tunneled TPU: the Pallas wavefront kernel beats the
-        # 8-thread native batch once the banded DP work is large enough to
-        # amortize the RPC + transfer (see scripts/bench_wavefront_tpu.py);
-        # below the threshold native wins on dispatch latency
+    if (backend == "auto" and len(pairs) >= 64 and band_hints is None
+            and _tpu_available()):
+        # measured on the tunneled TPU: WITHOUT caller-proven band hints the
+        # Pallas wavefront kernel beats the native batch once the banded DP
+        # work amortizes the RPC + transfer (scripts/bench_wavefront_tpu.py).
+        # WITH hints the adaptive native path (prefix/suffix trim + hinted
+        # band cap across a thread pool) wins by ~3x even at 26k pairs
+        # (0.65 s vs 2.0 s on the bench INS load), so hinted batches always
+        # go native when the library is available.
         total_cells = 0
-        for index, (a, b) in enumerate(pairs):
-            band = (band_hints[index] if band_hints is not None
-                    else max(len(a), len(b)) // 4)
+        for a, b in pairs:
+            band = max(len(a), len(b)) // 4
             total_cells += min(len(a), len(b)) * max(64, min(band, 4096))
         if total_cells > 50_000_000:
             from svim_tpu.ops.wavefront_kernel import batched_edit_distance
             return batched_edit_distance(pairs, initial_band=128,
-                                         band_hints=band_hints)
+                                         band_hints=None)
     if len(pairs) >= 8:
         try:
             from svim_tpu.native import aligner, get_library
