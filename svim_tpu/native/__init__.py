@@ -117,6 +117,14 @@ def get_library():
         return _lib
 
 
+def _buffer_arg(buffer):
+    """Zero-copy ctypes argument for bytes OR bytearray buffers (decompressed
+    BAM windows are bytearrays to avoid a whole-stream copy)."""
+    if isinstance(buffer, bytes):
+        return buffer
+    return (ctypes.c_char * len(buffer)).from_buffer(buffer)
+
+
 class aligner:
     """Namespace mirroring the Python fallback API in combine.consensus."""
 
@@ -281,7 +289,7 @@ def bam_carve_window(buffer: bytes, start: int, min_mapq: int, max_records: int)
     consumed = ctypes.c_int64(0)
     exhausted = ctypes.c_int(0)
     count = lib.bam_carve_window(
-        buffer, len(buffer), start, min_mapq, max_records,
+        _buffer_arg(buffer), len(buffer), start, min_mapq, max_records,
         ptr(columns["rec_off"]), ptr(columns["ref_id"]), ptr(columns["pos"]),
         ptr(columns["mapq"]), ptr(columns["flag"]), ptr(columns["name_off"]),
         ptr(columns["name_len"]), ptr(columns["cigar_off"]), ptr(columns["n_cigar"]),
@@ -303,10 +311,18 @@ def bgzf_decompress_parallel(data: bytes, n_threads: int = 0):
     total = lib.bgzf_uncompressed_size(data, len(data))
     if total < 0:
         return None
-    out = ctypes.create_string_buffer(total)
-    if lib.bgzf_decompress(data, len(data), out, total, n_threads) != 0:
+    if total == 0:
+        return bytearray()
+    # inflate straight into a bytearray: create_string_buffer + .raw would
+    # allocate AND copy the whole uncompressed stream (hundreds of MB for
+    # whole-genome BAMs) on every call
+    out = bytearray(total)
+    view = (ctypes.c_char * total).from_buffer(out)
+    status = lib.bgzf_decompress(data, len(data), view, total, n_threads)
+    del view
+    if status != 0:
         return None
-    return out.raw
+    return out
 
 
 def cigar_compact_rows(buffer, cigar_off, n_cigar, min_sv_size: int,
@@ -330,13 +346,14 @@ def cigar_compact_rows(buffer, cigar_off, n_cigar, min_sv_size: int,
         return array.ctypes.data_as(ctypes.c_void_p)
 
     counts = np.empty(n, dtype=np.int32)
-    lib.cigar_compact_counts(buffer, ptr(off), ptr(ops), n, min_sv_size,
+    buffer_arg = _buffer_arg(buffer)
+    lib.cigar_compact_counts(buffer_arg, ptr(off), ptr(ops), n, min_sv_size,
                              ptr(counts))
     k = bucket_size_fn(max(1, int(counts.max())))
     if k >= bucket_size_fn(max(1, int(ops.max()))):
         return None
     out = np.zeros((n, k), dtype=np.int32)
-    lib.cigar_compact_fill(buffer, ptr(off), ptr(ops), n, min_sv_size, k,
+    lib.cigar_compact_fill(buffer_arg, ptr(off), ptr(ops), n, min_sv_size, k,
                            ptr(out))
     return out
 
@@ -375,7 +392,8 @@ def bamscan_native(data: bytes, min_mapq: int, bucket_size_fn,
 
     n_out = ctypes.c_int64(0)
     max_ops_out = ctypes.c_int64(0)
-    if lib.bam_count(data, len(data), body_offset, min_mapq, min_sv_size,
+    data_arg = _buffer_arg(data)
+    if lib.bam_count(data_arg, len(data), body_offset, min_mapq, min_sv_size,
                      ctypes.byref(n_out), ctypes.byref(max_ops_out)) != 0:
         raise ValueError("truncated BAM stream")
     n = n_out.value
@@ -396,7 +414,7 @@ def bamscan_native(data: bytes, min_mapq: int, bucket_size_fn,
     def ptr(array):
         return array.ctypes.data_as(ctypes.c_void_p)
 
-    if lib.bam_fill(data, len(data), body_offset, min_mapq, min_sv_size, k,
+    if lib.bam_fill(data_arg, len(data), body_offset, min_mapq, min_sv_size, k,
                     ptr(cigar_words), ptr(ref_id), ptr(pos),
                     ptr(mapq), ptr(flag), ptr(name_off), ptr(name_len),
                     ptr(seq_off), ptr(seq_len), ptr(sa_off), ptr(sa_len)) != 0:
