@@ -55,44 +55,12 @@ def main():
                 samples.append(partition)
 
         with FastaFile(options.genome) as reference:
-            # --- split precompute into build vs native compute -------------
             t0 = time.perf_counter()
-            from svim_tpu.cluster.edit_distance import batch_edit_distances
-            keys = []
-            pairs = []
-            hints = []
-            import numpy as np
-            gate = 2 * options.cluster_max_distance
             multi = [s for s in samples if len(s) >= 2]
-            for smp in multi:
-                n = len(smp)
-                starts = np.fromiter((e.get_source()[1] for e in smp), dtype=np.int64, count=n)
-                spans = np.fromiter((e.get_source()[2] - e.get_source()[1] for e in smp), dtype=np.int64, count=n)
-                pos_d = np.abs(starts[:, None] - starts[None, :]) / options.position_distance_normalizer
-                pi, pj = np.nonzero(np.triu(pos_d <= gate, k=1))
-                if not len(pi):
-                    continue
-                window = accel.PartitionWindow(reference, smp[0].contig, int(starts.min()), int(starts.max()))
-                seqs = [e.sequence.upper() for e in smp]
-                for i, j in zip(pi.tolist(), pj.tolist()):
-                    w_s = min(starts[i], starts[j]) - accel.WINDOW_PADDING
-                    w_e = max(starts[i], starts[j]) + accel.WINDOW_PADDING
-                    keys.append((id(smp[i]), id(smp[j])))
-                    pairs.append((window.slice(w_s, starts[i]) + seqs[i] + window.slice(starts[i], w_e),
-                                  window.slice(w_s, starts[j]) + seqs[j] + window.slice(starts[j], w_e)))
-                    hints.append(int(min(spans[i] + spans[j],
-                                         max(spans[i], spans[j]) + 2 * abs(starts[i] - starts[j]))))
-            t["pair_build"] = time.perf_counter() - t0
-            t["n_pairs"] = len(pairs)
-            t["mean_len"] = round(sum(len(a) for a, _ in pairs) / max(1, len(pairs)), 1)
-
-            t0 = time.perf_counter()
-            values = batch_edit_distances(pairs, "auto", band_hints=hints)
-            t["ed_batch"] = time.perf_counter() - t0
-            ed_cache = {}
-            for (ka, kb), v in zip(keys, values):
-                ed_cache[(ka, kb)] = v
-                ed_cache[(kb, ka)] = v
+            ed_cache = accel.precompute_ins_edit_distances(multi, reference,
+                                                           options)
+            t["ed_precompute"] = time.perf_counter() - t0
+            t["n_pairs"] = len(ed_cache.pairs) // 2
 
             t0 = time.perf_counter()
             from svim_tpu.cluster.device_cluster import dispatch_partitions_device

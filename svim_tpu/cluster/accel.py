@@ -54,19 +54,65 @@ def _pair_key(first, second):
     return (id(first), id(second))
 
 
+class InsEditCache:
+    """Batched INS haplotype edit distances, queryable two ways: a scalar
+    {(id(a), id(b)): distance} lookup (pair fast path), and per-partition
+    (pairs_i, pairs_j, values) arrays for vectorized matrix fills.  The pair
+    arrays are the np.triu/nonzero enumeration distance_matrix() performs, so
+    consumers can reuse them directly."""
+
+    __slots__ = ("pairs", "by_partition")
+
+    def __init__(self):
+        self.pairs = {}
+        self.by_partition = {}
+
+    def __getitem__(self, key):
+        return self.pairs[key]
+
+    def partition_arrays(self, sample):
+        """(pairs_i, pairs_j, values) for this exact partition list, or
+        None."""
+        return self.by_partition.get(id(sample))
+
+
+def _ins_pair_hints(spans, starts, pairs_i, pairs_j):
+    """Proven per-pair distance upper bounds: either swap the inserts
+    outright, or align insert<->insert and move the Delta-long reference
+    run."""
+    si = spans[pairs_i]
+    sj = spans[pairs_j]
+    return np.minimum(si + sj,
+                      np.maximum(si, sj)
+                      + 2 * np.abs(starts[pairs_i] - starts[pairs_j]))
+
+
+def _native_indexed_ed():
+    try:
+        from svim_tpu.native import aligner, get_library
+        if get_library() is not None:
+            return aligner.edit_distance_pairs_indexed
+    except Exception:
+        pass
+    return None
+
+
 def precompute_ins_edit_distances(samples, reference, options):
     """One batched edit-distance pass over the near pairs of ALL insertion
     partitions (the clustering inner loop, SVIM_clustering.py:64-77).
-    Returns {(id(a), id(b)): distance} with both key orders present.
+    Returns an InsEditCache.
 
-    Batching across partitions is what feeds the device wavefront kernel
-    enough pairs to amortize dispatch; the values are exact either way."""
-    from svim_tpu.cluster.edit_distance import batch_edit_distances
-
-    keys = []
-    haplotype_pairs = []
-    band_hints = []
+    The default route ships only indices to the native batch (haplotypes are
+    assembled in C++ worker scratch from per-element sequences and one
+    reference window per partition); forced backends fall back to explicit
+    string pairs through batch_edit_distances."""
     gate = 2 * options.cluster_max_distance
+    backend = getattr(options, "edit_backend", "auto")
+    native_indexed = _native_indexed_ed() if backend == "auto" else None
+    cache = InsEditCache()
+
+    # per-partition pair enumeration (shared by both routes)
+    prepared = []   # (sample, starts, pairs_i, pairs_j, hints)
     for sample in samples:
         if len(sample) < 2 or sample[0].type != "INS":
             continue
@@ -80,30 +126,105 @@ def precompute_ins_edit_distances(samples, reference, options):
         pairs_i, pairs_j = np.nonzero(np.triu(position_distance <= gate, k=1))
         if not len(pairs_i):
             continue
+        prepared.append((sample, starts,
+                         pairs_i.astype(np.int32), pairs_j.astype(np.int32),
+                         _ins_pair_hints(spans, starts, pairs_i, pairs_j)))
+    if not prepared:
+        return cache
+
+    if native_indexed is not None:
+        seq_parts = []
+        seq_len_parts = []
+        elem_start_parts = []
+        win_parts = []
+        win_coords = []
+        pair_a_parts = []
+        pair_b_parts = []
+        pair_win_parts = []
+        hint_parts = []
+        base = 0
+        for w, (sample, starts, pairs_i, pairs_j, hints) in enumerate(prepared):
+            window = PartitionWindow(reference, sample[0].contig,
+                                     int(starts.min()), int(starts.max()))
+            win_parts.append(window.sequence.encode())
+            win_coords.append(window.offset)
+            sequences = [e.sequence.upper().encode() for e in sample]
+            seq_parts.extend(sequences)
+            seq_len_parts.append(np.fromiter((len(s) for s in sequences),
+                                             dtype=np.int64, count=len(sequences)))
+            elem_start_parts.append(starts)
+            pair_a_parts.append(pairs_i.astype(np.int64) + base)
+            pair_b_parts.append(pairs_j.astype(np.int64) + base)
+            pair_win_parts.append(np.full(len(pairs_i), w, dtype=np.int32))
+            hint_parts.append(hints)
+            base += len(sample)
+        seq_len = np.concatenate(seq_len_parts)
+        seq_off = np.zeros(len(seq_len), dtype=np.int64)
+        np.cumsum(seq_len[:-1], out=seq_off[1:])
+        win_len = np.fromiter((len(w) for w in win_parts), dtype=np.int64,
+                              count=len(win_parts))
+        win_off = np.zeros(len(win_len), dtype=np.int64)
+        np.cumsum(win_len[:-1], out=win_off[1:])
+        values = native_indexed(
+            b"".join(seq_parts), seq_off, seq_len,
+            np.concatenate(elem_start_parts),
+            b"".join(win_parts), win_off, win_len,
+            np.asarray(win_coords, dtype=np.int64),
+            np.concatenate(pair_a_parts).astype(np.int32),
+            np.concatenate(pair_b_parts).astype(np.int32),
+            np.concatenate(pair_win_parts),
+            np.concatenate(hint_parts).astype(np.int64), WINDOW_PADDING)
+        values = np.asarray(values, dtype=np.int64)
+        consumed = 0
+        for sample, starts, pairs_i, pairs_j, _hints in prepared:
+            part = values[consumed:consumed + len(pairs_i)]
+            consumed += len(pairs_i)
+            cache.by_partition[id(sample)] = (pairs_i, pairs_j, part)
+            if len(sample) <= 2:
+                # scalar lookups (ins_pair_distance) happen only on the
+                # 2-element fast path; matrix partitions consume the arrays
+                for i, j, value in zip(pairs_i.tolist(), pairs_j.tolist(),
+                                       part.tolist()):
+                    key = _pair_key(sample[i], sample[j])
+                    cache.pairs[key] = value
+                    cache.pairs[(key[1], key[0])] = value
+        return cache
+
+    # forced-backend / no-native route: explicit haplotype strings
+    from svim_tpu.cluster.edit_distance import batch_edit_distances
+
+    haplotype_pairs = []
+    band_hints = []
+    spans_per = []
+    for sample, starts, pairs_i, pairs_j, hints in prepared:
         window = PartitionWindow(reference, sample[0].contig,
                                  int(starts.min()), int(starts.max()))
         sequences = [e.sequence.upper() for e in sample]
         for i, j in zip(pairs_i.tolist(), pairs_j.tolist()):
             w_start = min(starts[i], starts[j]) - WINDOW_PADDING
             w_end = max(starts[i], starts[j]) + WINDOW_PADDING
-            keys.append(_pair_key(sample[i], sample[j]))
             haplotype_pairs.append((
                 window.slice(w_start, starts[i]) + sequences[i]
                 + window.slice(starts[i], w_end),
                 window.slice(w_start, starts[j]) + sequences[j]
                 + window.slice(starts[j], w_end)))
-            # proven distance bound: either swap the inserts outright, or
-            # align insert<->insert and move the Delta-long reference run
-            band_hints.append(int(min(
-                spans[i] + spans[j],
-                max(spans[i], spans[j]) + 2 * abs(starts[i] - starts[j]))))
-    values = batch_edit_distances(haplotype_pairs,
-                                  getattr(options, "edit_backend", "auto"),
+        band_hints.extend(hints.tolist())
+        spans_per.append(len(pairs_i))
+    values = batch_edit_distances(haplotype_pairs, backend,
                                   band_hints=band_hints)
-    cache = {}
-    for (key_a, key_b), value in zip(keys, values):
-        cache[(key_a, key_b)] = value
-        cache[(key_b, key_a)] = value
+    values = np.asarray(values, dtype=np.int64)
+    consumed = 0
+    for (sample, _starts, pairs_i, pairs_j, _hints), count in zip(prepared,
+                                                                  spans_per):
+        part = values[consumed:consumed + count]
+        consumed += count
+        cache.by_partition[id(sample)] = (pairs_i, pairs_j, part)
+        if len(sample) <= 2:
+            for i, j, value in zip(pairs_i.tolist(), pairs_j.tolist(),
+                                   part.tolist()):
+                key = _pair_key(sample[i], sample[j])
+                cache.pairs[key] = value
+                cache.pairs[(key[1], key[0])] = value
     return cache
 
 
@@ -171,6 +292,20 @@ def distance_matrix(elements, element_type, reference, options, ed_cache=None):
         matrix = position_distance + span_distance
         # sequence distance for local pairs: exact edit distance over
         # reference-padded haplotypes (SVIM_clustering.py:64-77)
+        arrays = (ed_cache.partition_arrays(elements)
+                  if isinstance(ed_cache, InsEditCache) else None)
+        if arrays is not None:
+            # vectorized fill from the precomputed pair arrays (identical
+            # np.triu enumeration; same elementwise f64 op order as the
+            # scalar expression below)
+            pairs_i, pairs_j, values = arrays
+            filled = (position_distance[pairs_i, pairs_j]
+                      + values / max_span[pairs_i, pairs_j]
+                      / options.edit_distance_normalizer)
+            matrix[pairs_i, pairs_j] = filled
+            matrix[pairs_j, pairs_i] = filled
+            np.fill_diagonal(matrix, 0.0)
+            return matrix
         pairs_i, pairs_j = np.nonzero(np.triu(near, k=1))
         if len(pairs_i):
             if ed_cache is not None:

@@ -77,6 +77,12 @@ def get_library():
             ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_int]
+        lib.edit_distance_pairs_indexed.restype = ctypes.c_int
+        lib.edit_distance_pairs_indexed.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int]
         lib.bgzf_uncompressed_size.restype = ctypes.c_int64
         lib.bgzf_uncompressed_size.argtypes = [ctypes.c_char_p, ctypes.c_int64]
         lib.bgzf_decompress.restype = ctypes.c_int
@@ -214,6 +220,41 @@ class aligner:
             lib.edit_distance_batch(blob, ptr(a_off), ptr(a_len), ptr(b_off),
                                     ptr(b_len), len(pairs), ptr(out), n_threads)
         return out.tolist()
+
+    @staticmethod
+    def edit_distance_pairs_indexed(seq_blob: bytes, seq_off, seq_len,
+                                    elem_start, win_blob: bytes, win_off,
+                                    win_len, win_coord, pair_a, pair_b,
+                                    pair_win, hints, padding: int,
+                                    n_threads: int = 0):
+        """Exact distances for INS haplotype pairs described by indices: each
+        haplotype is window[ws:start] + sequence + window[start:we] assembled
+        in C++ worker scratch (no per-pair Python strings).  Arrays must be
+        contiguous: seq_off/seq_len/elem_start int64 per element,
+        win_off/win_len/win_coord int64 per window, pair_a/pair_b/pair_win
+        int32 per pair, hints int64 per pair or None."""
+        import numpy as np
+
+        lib = get_library()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        n_pairs = len(pair_a)
+        if n_pairs == 0:
+            return []
+        if n_threads <= 0:
+            n_threads = min(8, os.cpu_count() or 1)
+        out = np.empty(n_pairs, dtype=np.int64)
+
+        def ptr(array):
+            return array.ctypes.data_as(ctypes.c_void_p)
+
+        lib.edit_distance_pairs_indexed(
+            seq_blob, ptr(seq_off), ptr(seq_len), ptr(elem_start),
+            win_blob, ptr(win_off), ptr(win_len), ptr(win_coord),
+            ptr(pair_a), ptr(pair_b), ptr(pair_win),
+            ptr(hints) if hints is not None else None,
+            padding, n_pairs, ptr(out), n_threads)
+        return out
 
     @staticmethod
     def edit_distance_full(a: str, b: str) -> int:

@@ -777,6 +777,77 @@ int edit_distance_batch(const char* blob,
                                     n, out, n_threads);
 }
 
+// Indexed-pair edit distance for INS clustering (SVIM_clustering.py:32-45
+// semantics): each haplotype is window[ws:start] + element_sequence +
+// window[start:we] with ws/we = min/max(start_a, start_b) -/+ padding.
+// Haplotypes are assembled in worker-thread scratch from a per-element
+// sequence blob and per-window reference blob, so the caller ships only
+// indices — no per-pair string construction.
+//
+// Window slicing follows Python semantics: genomic coordinates clamp to
+// >= 0, then indices (coord - win_coord) clamp into [0, win_len].
+static inline void append_window_slice(const char* win, int64_t win_len,
+                                       int64_t win_coord, int64_t lo,
+                                       int64_t hi, std::vector<char>* dst) {
+  if (lo < 0) lo = 0;
+  if (hi < 0) hi = 0;
+  int64_t s = lo - win_coord;
+  int64_t e = hi - win_coord;
+  if (s < 0) s = 0;
+  if (s > win_len) s = win_len;
+  if (e < 0) e = 0;
+  if (e > win_len) e = win_len;
+  if (e > s) dst->insert(dst->end(), win + s, win + e);
+}
+
+int edit_distance_pairs_indexed(
+    const char* seq_blob, const int64_t* seq_off, const int64_t* seq_len,
+    const int64_t* elem_start,
+    const char* win_blob, const int64_t* win_off, const int64_t* win_len,
+    const int64_t* win_coord,
+    const int32_t* pair_a, const int32_t* pair_b, const int32_t* pair_win,
+    const int64_t* hints, int64_t padding,
+    int64_t n_pairs, int64_t* out, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  auto worker = [&](int worker_id) {
+    std::vector<char> ha, hb;
+    for (int64_t k = worker_id; k < n_pairs; k += n_threads) {
+      const int64_t i = pair_a[k];
+      const int64_t j = pair_b[k];
+      const int64_t w = pair_win[k];
+      const char* win = win_blob + win_off[w];
+      const int64_t wl = win_len[w];
+      const int64_t wc = win_coord[w];
+      const int64_t si = elem_start[i];
+      const int64_t sj = elem_start[j];
+      const int64_t ws = (si < sj ? si : sj) - padding;
+      const int64_t we = (si > sj ? si : sj) + padding;
+      ha.clear();
+      append_window_slice(win, wl, wc, ws, si, &ha);
+      ha.insert(ha.end(), seq_blob + seq_off[i], seq_blob + seq_off[i] + seq_len[i]);
+      append_window_slice(win, wl, wc, si, we, &ha);
+      hb.clear();
+      append_window_slice(win, wl, wc, ws, sj, &hb);
+      hb.insert(hb.end(), seq_blob + seq_off[j], seq_blob + seq_off[j] + seq_len[j]);
+      append_window_slice(win, wl, wc, sj, we, &hb);
+      const int64_t m = (int64_t)ha.size();
+      const int64_t nn = (int64_t)hb.size();
+      if (m == 0 || nn == 0) {
+        out[k] = m > nn ? m : nn;
+        continue;
+      }
+      out[k] = edit_distance_adaptive((const uint8_t*)ha.data(), m,
+                                      (const uint8_t*)hb.data(), nn,
+                                      hints ? hints[k] : 0);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < n_threads; ++t) threads.emplace_back(worker, t);
+  worker(0);
+  for (auto& thread : threads) thread.join();
+  return 0;
+}
+
 // Myers bit-parallel Levenshtein distance over 64-bit words (edlib's role,
 // SVIM_clustering.py:45).  Exact, unbounded.
 int64_t myers_distance(const uint8_t* pattern, int64_t m,
