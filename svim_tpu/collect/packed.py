@@ -200,11 +200,14 @@ def _signatures_from_grouped_packed(packed, group_sizes, name_table, options):
     return sv_signatures, twins
 
 
-# measured on the tunneled TPU (round 2): the streaming scanner beats the
-# one-shot path once there is enough input to pipeline (0.86 s vs 1.23 s on
-# the 2048-read bench) — window decompression, carving, device transfer and
-# host materialization overlap.  Tiny inputs stay one-shot (fixed overheads).
-STREAMING_THRESHOLD_BYTES = 8 * 1024 * 1024
+# streaming exists for bounded memory: the one-shot scanner holds the whole
+# uncompressed stream (~12x the compressed size for long-read BAMs).  With
+# the one-shot scan free of buffer churn it beats streaming whenever the
+# stream fits comfortably (measured round 2: 0.8-1.2 s vs 2.0-2.1 s at 8192
+# reads — streaming pays ~0.26 s of per-batch dispatch/fetch round trips over
+# the tunnel), so only inputs whose inflated size threatens RAM stream by
+# default; --stream_input forces it.
+STREAMING_THRESHOLD_BYTES = 256 * 1024 * 1024
 
 
 def collect_signatures_from_bam(bam_path: str, options):

@@ -29,7 +29,13 @@ from svim_tpu.io.sam import AlignmentHeader
 FUNMAP = 0x4
 FSECONDARY = 0x100
 
-WINDOW_UNCOMPRESSED = 64 * 1024 * 1024  # target decompressed window size
+# target decompressed window size.  Streaming is the bounded-memory path for
+# whole-genome inputs (the one-shot scanner handles anything under the
+# collect.packed threshold), so windows are sized for round-trip economy:
+# each window-bound batch pays a dispatch + fetch over the tunnel, and at
+# ~40 KB per long-read record a 128 MiB window fills one 4096-read batch.
+# Peak residency is ~3 windows (prefetch depth 2).
+WINDOW_UNCOMPRESSED = 128 * 1024 * 1024
 
 ROW_BUCKETS = (1024, 2048, 4096, 8192, 16384)
 
