@@ -636,9 +636,16 @@ int gotoh_align(const char* a, int64_t la, const char* b, int64_t lb,
   return 0;
 }
 
-// Banded Levenshtein: exact distance if <= band, else -1.  O(n * band).
-static int64_t banded_levenshtein(const uint8_t* a, int64_t m,
-                                  const uint8_t* b, int64_t n, int64_t band) {
+int64_t myers_distance(const uint8_t* pattern, int64_t m,
+                       const uint8_t* text, int64_t n);
+
+// Greedy O(ND) Levenshtein (Myers 1986 / Landau-Vishkin): exact distance if
+// <= cap, else -1.  Cost O(n + d^2) expected — the frontier per edit round
+// is d+1 diagonals, and match runs are consumed by LCP slides instead of DP
+// cells, which is the right shape for near-duplicate haplotypes (tiny d over
+// hundreds of matching bases).
+static int64_t greedy_levenshtein(const uint8_t* a, int64_t m,
+                                  const uint8_t* b, int64_t n, int64_t cap) {
   if (m > n) {
     const uint8_t* t = a;
     a = b;
@@ -647,63 +654,75 @@ static int64_t banded_levenshtein(const uint8_t* a, int64_t m,
     m = n;
     n = tmp;
   }
-  if (n - m > band) return -1;
-  const int32_t kInf = 1 << 28;
-  // window of columns [lo, hi] per row of a
-  std::vector<int32_t> prev(2 * band + 2, kInf), cur(2 * band + 2, kInf);
-  // row 0: D(0, j) = j for j in [0, band]
-  for (int64_t j = 0; j <= band && j <= n; ++j) prev[j] = (int32_t)j;
-  int64_t prev_lo = 0;
-  for (int64_t i = 1; i <= m; ++i) {
-    int64_t lo = i - band < 0 ? 0 : i - band;
-    int64_t hi = i + band > n ? n : i + band;
-    const uint8_t ca = a[i - 1];
-    for (int64_t j = lo; j <= hi; ++j) {
-      int32_t best = kInf;
-      if (j == 0) {
-        best = (int32_t)i;
-      } else {
-        int64_t pd = j - 1 - prev_lo;   // diagonal in prev window
-        if (pd >= 0 && pd < (int64_t)prev.size() - 1 && prev[pd] < kInf) {
-          int32_t v = prev[pd] + (ca == b[j - 1] ? 0 : 1);
-          if (v < best) best = v;
-        }
-        int64_t pu = j - prev_lo;       // above in prev window
-        if (pu >= 0 && pu < (int64_t)prev.size() - 1 && prev[pu] < kInf) {
-          int32_t v = prev[pu] + 1;
-          if (v < best) best = v;
-        }
-        if (j - 1 >= lo) {
-          int32_t v = cur[j - 1 - lo] + 1;
-          if (v < best) best = v;
-        }
-      }
-      cur[j - lo] = best;
+  const int64_t kd = n - m;  // final diagonal (j - i when both exhausted)
+  if (kd > cap) return -1;
+  const int64_t kNeg = INT64_MIN / 4;
+  // fr[k + kMaxCap + 1] = furthest row i reached on diagonal k = j - i.
+  // Buffers are initialized to kNeg ONCE per thread and restored to kNeg on
+  // every return, so per-call cost is O(d), not O(cap).
+  static const int64_t kMaxCap = 4096;
+  if (cap > kMaxCap) cap = kMaxCap;
+  thread_local std::vector<int64_t> fr_a_tl((size_t)(2 * kMaxCap + 3), kNeg);
+  thread_local std::vector<int64_t> fr_b_tl((size_t)(2 * kMaxCap + 3), kNeg);
+  int64_t* fr_prev = fr_a_tl.data() + kMaxCap + 1;
+  int64_t* fr_cur = fr_b_tl.data() + kMaxCap + 1;
+  auto cleanup = [&](int64_t e_max) {
+    const int64_t r = (e_max + 1 < kMaxCap + 1 ? e_max + 1 : kMaxCap + 1);
+    for (int64_t k = -r; k <= r; ++k) {
+      fr_prev[k] = kNeg;
+      fr_cur[k] = kNeg;
     }
-    // clear stale tail
-    for (int64_t c = hi - lo + 1; c < (int64_t)cur.size(); ++c) cur[c] = kInf;
-    prev.swap(cur);
-    prev_lo = lo;
-  }
-  int64_t fd = n - prev_lo;
-  if (fd < 0 || fd >= (int64_t)prev.size()) return -1;
-  int32_t result = prev[fd];
-  if (result > band) return -1;
-  return result;
-}
+  };
 
-int64_t myers_distance(const uint8_t* pattern, int64_t m,
-                       const uint8_t* text, int64_t n);
+  // e = 0: slide along the main diagonal
+  int64_t i0 = 0;
+  while (i0 < m && a[i0] == b[i0]) ++i0;
+  if (i0 >= m && kd == 0) return 0;
+  fr_prev[0] = i0;
+
+  for (int64_t e = 1; e <= cap; ++e) {
+    const int64_t k_lo = -(e < m ? e : m);
+    const int64_t k_hi = e < n ? e : n;
+    for (int64_t k = k_lo; k <= k_hi; ++k) {
+      // reach diagonal k with one more edit:
+      //   substitution from k (i+1), deletion from k+1 (i+1),
+      //   insertion from k-1 (i unchanged)
+      int64_t i = fr_prev[k] + 1;
+      if (fr_prev[k + 1] + 1 > i) i = fr_prev[k + 1] + 1;
+      if (fr_prev[k - 1] > i) i = fr_prev[k - 1];
+      if (i < 0) {
+        fr_cur[k] = kNeg;
+        continue;
+      }
+      // clamp into the grid (j = i + k <= n, i <= m)
+      if (i > m) i = m;
+      if (i + k > n) i = n - k;
+      if (i + k < 0) {
+        fr_cur[k] = kNeg;
+        continue;
+      }
+      while (i < m && i + k < n && a[i] == b[i + k]) ++i;
+      fr_cur[k] = i;
+      if (k == kd && i >= m) {
+        cleanup(e);
+        return e;
+      }
+    }
+    std::swap(fr_prev, fr_cur);
+  }
+  cleanup(cap);
+  return -1;
+}
 
 // Exact Levenshtein, output-sensitive:
 //   1. strip the common prefix and suffix (distance-preserving for unit
 //      costs; clustering haplotype pairs share long reference padding and
 //      motif runs, so this removes most of the DP area);
-//   2. banded DP with band doubling while the band stays cheaper than the
-//      bit-parallel recurrence;
+//   2. greedy O(n + d^2) frontier walk while its quadratic term stays
+//      cheaper than the bit-parallel pass;
 //   3. full Myers otherwise (64 cells/word).
-// `hint` > 0 is a caller-proven upper bound on the distance: a banded pass
-// at band >= hint is exact, so doubling never overshoots it.
+// `hint` > 0 is a caller-proven upper bound on the distance: a greedy pass
+// capped at >= hint is exact.
 static int64_t edit_distance_adaptive(const uint8_t* a, int64_t m,
                                       const uint8_t* b, int64_t n,
                                       int64_t hint) {
@@ -713,21 +732,17 @@ static int64_t edit_distance_adaptive(const uint8_t* a, int64_t m,
   if (n == 0) return m;
   const int64_t diff = m > n ? m - n : n - m;
   const int64_t shorter = m < n ? m : n;
-  // cost model (measured on this box): one banded row costs ~(2*band+1)
-  // bounds-checked cells; one Myers row costs ~ceil(shorter/64) words at
-  // roughly 6 cells' worth of work each — double the band only while the
-  // banded pass stays cheaper than the guaranteed bit-parallel pass.
-  int64_t band_cap = ((shorter + 63) / 64) * 6;
-  if (band_cap < 64) band_cap = 64;
-  if (hint > 0 && hint < band_cap) band_cap = hint;
-  int64_t band = 16;
-  while (band < diff) band <<= 1;
-  for (; band < band_cap; band <<= 1) {
-    int64_t d = banded_levenshtein(a, m, b, n, band);
-    if (d >= 0) return d;
-  }
-  {
-    int64_t d = banded_levenshtein(a, m, b, n, band_cap);
+  const int64_t longer = m < n ? n : m;
+  // cost model: the greedy walk does ~cap^2/2 frontier updates (plus slides
+  // bounded by the matching bases); one Myers pass does
+  // ceil(shorter/64) * longer word-ops.  Cap the greedy pass so its
+  // quadratic term stays within ~4x the guaranteed bit-parallel cost.
+  const int64_t myers_cost = ((shorter + 63) / 64) * longer;
+  int64_t cap = 64;
+  while (cap * cap < 4 * myers_cost && cap < 4096) cap <<= 1;
+  if (hint > 0 && hint < cap) cap = hint;
+  if (cap >= diff) {
+    int64_t d = greedy_levenshtein(a, m, b, n, cap);
     if (d >= 0) return d;
   }
   return myers_distance(a, m, b, n);
