@@ -31,7 +31,8 @@ _POA_SOURCE = os.path.join(os.path.dirname(__file__), "poa.cpp")
 
 def _build() -> bool:
     command = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-               "-o", _LIBRARY, _SOURCE, _POA_SOURCE, "-lz", "-lpthread"]
+               "-o", _LIBRARY, _SOURCE, _POA_SOURCE, "-lz", "-lpthread",
+               "-ldl"]
     try:
         subprocess.run(command, check=True, capture_output=True)
         return True

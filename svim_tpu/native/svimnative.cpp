@@ -18,6 +18,7 @@
 #include <thread>
 #include <vector>
 
+#include <dlfcn.h>
 #include <zlib.h>
 
 extern "C" {
@@ -75,6 +76,41 @@ int64_t bgzf_uncompressed_size(const uint8_t* data, int64_t size) {
   return total;
 }
 
+// libdeflate (when installed) inflates raw-deflate members ~2-3x faster
+// than zlib; resolved at runtime via dlopen so the build never depends on
+// it and zlib remains the fallback.
+typedef void* (*ld_alloc_fn)(void);
+typedef void (*ld_free_fn)(void*);
+typedef int (*ld_inflate_fn)(void*, const void*, size_t, void*, size_t,
+                             size_t*);
+
+struct LibdeflateApi {
+  ld_alloc_fn alloc = nullptr;
+  ld_free_fn release = nullptr;
+  ld_inflate_fn inflate = nullptr;
+};
+
+static const LibdeflateApi& libdeflate_api() {
+  static LibdeflateApi api = [] {
+    LibdeflateApi out;
+    void* handle = dlopen("libdeflate.so.0", RTLD_NOW | RTLD_LOCAL);
+    if (!handle) handle = dlopen("libdeflate.so", RTLD_NOW | RTLD_LOCAL);
+    if (handle) {
+      out.alloc = (ld_alloc_fn)dlsym(handle, "libdeflate_alloc_decompressor");
+      out.release = (ld_free_fn)dlsym(handle, "libdeflate_free_decompressor");
+      out.inflate =
+          (ld_inflate_fn)dlsym(handle, "libdeflate_deflate_decompress");
+      if (!out.alloc || !out.release || !out.inflate) {
+        out.alloc = nullptr;
+        out.release = nullptr;
+        out.inflate = nullptr;
+      }
+    }
+    return out;
+  }();
+  return api;
+}
+
 // Inflate all blocks into `out` (caller-allocated) with `n_threads` workers.
 int bgzf_decompress(const uint8_t* data, int64_t size, uint8_t* out,
                     int64_t out_size, int n_threads) {
@@ -83,26 +119,38 @@ int bgzf_decompress(const uint8_t* data, int64_t size, uint8_t* out,
   if (scan_bgzf(data, size, &blocks, &total) != 0) return -1;
   if (total != out_size) return -2;
   if (n_threads < 1) n_threads = 1;
+  const LibdeflateApi& ld = libdeflate_api();
   std::vector<int> errors(n_threads, 0);
   auto worker = [&](int worker_id) {
     z_stream stream;
+    void* ld_state = ld.alloc ? ld.alloc() : nullptr;
     for (size_t b = worker_id; b < blocks.size(); b += n_threads) {
       const BgzfBlock& block = blocks[b];
       if (block.out_size == 0) continue;
-      std::memset(&stream, 0, sizeof(stream));
-      if (inflateInit2(&stream, -15) != Z_OK) { errors[worker_id] = 1; return; }
       // skip the fixed 12-byte header + xlen extra
       uint16_t xlen = (uint16_t)(data[block.in_off + 10]
                                  | (data[block.in_off + 11] << 8));
       int64_t payload = block.in_off + 12 + xlen;
+      int64_t payload_size = block.in_size - (payload - block.in_off) - 8;
+      if (ld_state) {
+        size_t actual = 0;
+        int status = ld.inflate(ld_state, data + payload, (size_t)payload_size,
+                                out + block.out_off, (size_t)block.out_size,
+                                &actual);
+        if (status == 0 && actual == (size_t)block.out_size) continue;
+        // fall through to zlib for this block
+      }
+      std::memset(&stream, 0, sizeof(stream));
+      if (inflateInit2(&stream, -15) != Z_OK) { errors[worker_id] = 1; break; }
       stream.next_in = const_cast<uint8_t*>(data + payload);
-      stream.avail_in = (uInt)(block.in_size - (payload - block.in_off) - 8);
+      stream.avail_in = (uInt)payload_size;
       stream.next_out = out + block.out_off;
       stream.avail_out = (uInt)block.out_size;
       int status = inflate(&stream, Z_FINISH);
       inflateEnd(&stream);
-      if (status != Z_STREAM_END) { errors[worker_id] = 1; return; }
+      if (status != Z_STREAM_END) { errors[worker_id] = 1; break; }
     }
+    if (ld_state) ld.release(ld_state);
   };
   std::vector<std::thread> threads;
   for (int t = 1; t < n_threads; ++t) threads.emplace_back(worker, t);
