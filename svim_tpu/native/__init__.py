@@ -119,7 +119,8 @@ def get_library():
             ctypes.c_int32, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -459,7 +460,8 @@ def bamscan_native(data: bytes, min_mapq: int, bucket_size_fn,
     if lib.bam_fill(data_arg, len(data), body_offset, min_mapq, min_sv_size, k,
                     ptr(cigar_words), ptr(ref_id), ptr(pos),
                     ptr(mapq), ptr(flag), ptr(name_off), ptr(name_len),
-                    ptr(seq_off), ptr(seq_len), ptr(sa_off), ptr(sa_len)) != 0:
+                    ptr(seq_off), ptr(seq_len), ptr(sa_off), ptr(sa_len),
+                    min(8, os.cpu_count() or 1)) != 0:
         raise ValueError("truncated BAM stream")
     return (text, references, lengths, cigar_words, ref_id, pos,
             mapq, flag, name_off, name_len, seq_off, seq_len, sa_off, sa_len)

@@ -224,6 +224,21 @@ static int64_t find_sa(const uint8_t* data, int64_t p, int64_t end) {
 static int64_t cigar_compact_core(const uint8_t* cigar, int64_t n_cigar,
                                   int32_t thr, int32_t* out, int64_t cap);
 
+// Offsets of passing records discovered by bam_count, so bam_fill can skip
+// the second sequential walk and fan rows out across threads.  Keyed on the
+// exact (buffer, size, body_offset, filters) tuple; bamscan_native calls
+// count then fill back-to-back on one thread, which is what thread_local
+// serves.  A mismatched key simply falls back to the sequential walk.
+struct BamScanCache {
+  const uint8_t* data = nullptr;
+  int64_t size = -1;
+  int64_t body_offset = -1;
+  int min_mapq = -1;
+  int32_t min_sv_size = -1;
+  std::vector<int64_t> offsets;  // offset of each passing record's length field
+};
+static thread_local BamScanCache g_bam_scan_cache;
+
 // Count records passing the filter; report max cigar op count.  When
 // min_sv_size > 0 the count reflects CIGAR compaction (see
 // cigar_compact_core) so the padded batch can be sized compact.
@@ -234,16 +249,19 @@ int bam_count(const uint8_t* data, int64_t size, int64_t body_offset,
   int64_t off = body_offset;
   int64_t n = 0;
   int64_t max_ops = 1;
+  BamScanCache& cache = g_bam_scan_cache;
+  cache.data = nullptr;  // invalidate until the walk completes
+  cache.offsets.clear();
   while (off + 4 <= size) {
     int32_t block = rd_i32(data + off);
-    off += 4;
-    if (off + block > size || block < 32) return -1;
-    const uint8_t* r = data + off;
+    if (off + 4 + block > size || block < 32) return -1;
+    const uint8_t* r = data + off + 4;
     uint8_t mapq = r[9];
     uint16_t n_cigar = rd_u16(r + 12);
     uint16_t flag = rd_u16(r + 14);
     if ((flag & (kFUnmap | kFSecondary)) == 0 && mapq >= min_mapq) {
       n++;
+      cache.offsets.push_back(off);
       int64_t final_ops = n_cigar;
       if (min_sv_size > 0 && n_cigar > 0) {
         uint8_t l_read_name = r[8];
@@ -253,8 +271,13 @@ int bam_count(const uint8_t* data, int64_t size, int64_t body_offset,
       }
       if (final_ops > max_ops) max_ops = final_ops;
     }
-    off += block;
+    off += 4 + block;
   }
+  cache.data = data;
+  cache.size = size;
+  cache.body_offset = body_offset;
+  cache.min_mapq = min_mapq;
+  cache.min_sv_size = min_sv_size;
   *out_n = n;
   *out_max_ops = max_ops;
   return 0;
@@ -270,60 +293,92 @@ int bam_fill(const uint8_t* data, int64_t size, int64_t body_offset,
              int32_t* flag_out,
              int64_t* name_off, int32_t* name_len,
              int64_t* seq_off, int32_t* seq_len,
-             int64_t* sa_off, int32_t* sa_len) {
-  int64_t off = body_offset;
-  int64_t row = 0;
-  while (off + 4 <= size) {
+             int64_t* sa_off, int32_t* sa_len,
+             int n_threads) {
+  auto fill_one = [&](int64_t off, int64_t row) {
     int32_t block = rd_i32(data + off);
     off += 4;
-    if (off + block > size || block < 32) return -1;
     const uint8_t* r = data + off;
     uint8_t mapq = r[9];
     uint16_t n_cigar = rd_u16(r + 12);
     uint16_t flag = rd_u16(r + 14);
+    uint8_t l_read_name = r[8];
+    int32_t l_seq = rd_i32(data + off + 16);
+    ref_id[row] = rd_i32(data + off);
+    pos[row] = rd_i32(data + off + 4);
+    mapq_out[row] = mapq;
+    flag_out[row] = flag;
+    int64_t p = off + 32;
+    name_off[row] = p;
+    name_len[row] = l_read_name - 1;
+    p += l_read_name;
+    int64_t written = -1;
+    if (min_sv_size > 0 && n_cigar > 0) {
+      written = cigar_compact_core(data + p, n_cigar, min_sv_size,
+                                   cigar_words + row * k, k);
+      if (written < 0 || written > k) {
+        // raw row (or inconsistent sizing): clear partial compact writes
+        std::memset(cigar_words + row * k, 0, sizeof(int32_t) * (size_t)k);
+        written = -1;
+      }
+    }
+    if (written < 0) {
+      int64_t ops_to_copy = n_cigar < k ? n_cigar : k;
+      std::memcpy(cigar_words + row * k, data + p, 4 * ops_to_copy);
+    }
+    p += 4 * (int64_t)n_cigar;
+    seq_off[row] = p;
+    seq_len[row] = l_seq;
+    p += (l_seq + 1) / 2 + l_seq;
+    int64_t sa = find_sa(data, p, off + block);
+    if (sa >= 0) {
+      int64_t nul = sa;
+      int64_t end = off + block;
+      while (nul < end && data[nul] != 0) nul++;
+      sa_off[row] = sa;
+      sa_len[row] = (int32_t)(nul - sa);
+    } else {
+      sa_off[row] = -1;
+      sa_len[row] = 0;
+    }
+  };
+
+  // fast path: bam_count on this thread just walked this exact buffer and
+  // cached every passing record's offset — rows fan out across threads
+  const BamScanCache& cache = g_bam_scan_cache;
+  if (cache.data == data && cache.size == size
+      && cache.body_offset == body_offset && cache.min_mapq == min_mapq
+      && cache.min_sv_size == min_sv_size) {
+    const int64_t n = (int64_t)cache.offsets.size();
+    if (n_threads < 1) n_threads = 1;
+    if ((int64_t)n_threads > n) n_threads = (int)(n > 0 ? n : 1);
+    auto worker = [&](int worker_id) {
+      const int64_t lo = n * worker_id / n_threads;
+      const int64_t hi = n * (worker_id + 1) / n_threads;
+      for (int64_t row = lo; row < hi; ++row)
+        fill_one(cache.offsets[row], row);
+    };
+    std::vector<std::thread> threads;
+    for (int t = 1; t < n_threads; ++t) threads.emplace_back(worker, t);
+    worker(0);
+    for (auto& thread : threads) thread.join();
+    return 0;
+  }
+
+  // sequential walk (no matching count pass preceded this call)
+  int64_t off = body_offset;
+  int64_t row = 0;
+  while (off + 4 <= size) {
+    int32_t block = rd_i32(data + off);
+    if (off + 4 + block > size || block < 32) return -1;
+    const uint8_t* r = data + off + 4;
+    uint8_t mapq = r[9];
+    uint16_t flag = rd_u16(r + 14);
     if ((flag & (kFUnmap | kFSecondary)) == 0 && mapq >= min_mapq) {
-      uint8_t l_read_name = r[8];
-      int32_t l_seq = rd_i32(data + off + 16);
-      ref_id[row] = rd_i32(data + off);
-      pos[row] = rd_i32(data + off + 4);
-      mapq_out[row] = mapq;
-      flag_out[row] = flag;
-      int64_t p = off + 32;
-      name_off[row] = p;
-      name_len[row] = l_read_name - 1;
-      p += l_read_name;
-      int64_t written = -1;
-      if (min_sv_size > 0 && n_cigar > 0) {
-        written = cigar_compact_core(data + p, n_cigar, min_sv_size,
-                                     cigar_words + row * k, k);
-        if (written < 0 || written > k) {
-          // raw row (or inconsistent sizing): clear partial compact writes
-          std::memset(cigar_words + row * k, 0, sizeof(int32_t) * (size_t)k);
-          written = -1;
-        }
-      }
-      if (written < 0) {
-        int64_t ops_to_copy = n_cigar < k ? n_cigar : k;
-        std::memcpy(cigar_words + row * k, data + p, 4 * ops_to_copy);
-      }
-      p += 4 * (int64_t)n_cigar;
-      seq_off[row] = p;
-      seq_len[row] = l_seq;
-      p += (l_seq + 1) / 2 + l_seq;
-      int64_t sa = find_sa(data, p, off + block);
-      if (sa >= 0) {
-        int64_t nul = sa;
-        int64_t end = off + block;
-        while (nul < end && data[nul] != 0) nul++;
-        sa_off[row] = sa;
-        sa_len[row] = (int32_t)(nul - sa);
-      } else {
-        sa_off[row] = -1;
-        sa_len[row] = 0;
-      }
+      fill_one(off, row);
       row++;
     }
-    off += block;
+    off += 4 + block;
   }
   return 0;
 }
