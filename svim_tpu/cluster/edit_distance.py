@@ -51,37 +51,26 @@ def edit_distance(pattern: str, text: str) -> int:
 def batch_edit_distances(pairs, backend: str = "auto", band_hints=None):
     """Exact edit distances for many (a, b) pairs.
 
-    backend: "auto" (native banded Myers per pair — fastest on this
-    tunneled-TPU setup where per-call RPC dominates small batches),
-    "wavefront" (the batched device kernel; on real TPU hardware this is the
-    Pallas VMEM kernel — exact at band 4096, ~100x faster than the round-1
-    XLA scan and at parity with 8-thread native even through the tunnel), or
-    "python".
-    band_hints: optional proven per-pair distance upper bounds (lets the
-    device kernel resolve each pair in one banded pass)."""
+    backend: "auto" (native thread-pooled batch: trim + greedy O(n + d^2)
+    frontier + Myers bit-parallel fallback — fastest on every measured
+    shape), "wavefront" (the batched device kernel; on real TPU hardware
+    this is the Pallas VMEM kernel — exact at band 4096), or "python".
+    band_hints: optional proven per-pair distance upper bounds (caps the
+    greedy frontier / the device kernel's banded pass)."""
     if backend == "wavefront":
         from svim_tpu.ops.wavefront_kernel import batched_edit_distance
         return batched_edit_distance(pairs, initial_band=128,
                                      band_hints=band_hints)
     if backend == "python":
         return [edit_distance_py(a, b) for a, b in pairs]
-    if (backend == "auto" and len(pairs) >= 64 and band_hints is None
-            and _tpu_available()):
-        # measured on the tunneled TPU: WITHOUT caller-proven band hints the
-        # Pallas wavefront kernel beats the native batch once the banded DP
-        # work amortizes the RPC + transfer (scripts/bench_wavefront_tpu.py).
-        # WITH hints the adaptive native path (prefix/suffix trim + hinted
-        # band cap across a thread pool) wins by ~3x even at 26k pairs
-        # (0.65 s vs 2.0 s on the bench INS load), so hinted batches always
-        # go native when the library is available.
-        total_cells = 0
-        for a, b in pairs:
-            band = max(len(a), len(b)) // 4
-            total_cells += min(len(a), len(b)) * max(64, min(band, 4096))
-        if total_cells > 50_000_000:
-            from svim_tpu.ops.wavefront_kernel import batched_edit_distance
-            return batched_edit_distance(pairs, initial_band=128,
-                                         band_hints=None)
+    # "auto" routes to the native batch whenever the library is available:
+    # the greedy O(n + d^2) frontier (trim + hint-capped, thread pool) beats
+    # the tunneled Pallas wavefront on every measured shape — 26k
+    # near-duplicate 490 bp pairs in 0.073 s vs 2.0 s, and even 64 pairs of
+    # 7.8 kb at band 4096 (0.142 s native vs 0.228 s Pallas,
+    # scripts/bench_wavefront_tpu.py).  The wavefront kernel remains exact
+    # and selectable (backend="wavefront") for attached silicon where the
+    # host core count, not the device, is the scarce resource.
     if len(pairs) >= 8:
         try:
             from svim_tpu.native import aligner, get_library
