@@ -109,6 +109,13 @@ def scan_bam(filename: str, min_mapq: int = 0, min_sv_size: int = 0):
     data = None
     try:
         from svim_tpu import native
+        # fused fast path: inflate + record count in ONE native pass (the
+        # count walk chases the inflate frontier across the thread pool)
+        fused = native.bam_scan_fused(compressed, min_mapq, min_sv_size)
+        if fused is not None:
+            data, counted = fused
+            return scan_bam_bytes(data, min_mapq, min_sv_size,
+                                  counted=counted)
         data = native.bgzf_decompress_parallel(compressed)
     except Exception:
         data = None
@@ -136,14 +143,15 @@ class LazyStrings:
         return self._data[offset:offset + int(self._lengths[row])].decode()
 
 
-def scan_bam_bytes(data: bytes, min_mapq: int = 0, min_sv_size: int = 0):
+def scan_bam_bytes(data: bytes, min_mapq: int = 0, min_sv_size: int = 0,
+                   counted=None):
     if data[:4] != b"BAM\x01":
         raise ValueError("not a BAM stream")
     # native fast path: C++ record walk straight into packed columns
     try:
         from svim_tpu import native
         result = native.bamscan_native(data, min_mapq, bucket_size,
-                                       min_sv_size)
+                                       min_sv_size, counted=counted)
     except Exception:
         result = None
     if result is not None:

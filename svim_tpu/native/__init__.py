@@ -100,6 +100,12 @@ def get_library():
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
             ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+        lib.bam_inflate_count.restype = ctypes.c_int
+        lib.bam_inflate_count.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int32, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64)]
         lib.cigar_compact_counts.restype = ctypes.c_int
         lib.cigar_compact_counts.argtypes = [
             ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -368,6 +374,39 @@ def bgzf_decompress_parallel(data: bytes, n_threads: int = 0):
     return out
 
 
+def bam_scan_fused(compressed: bytes, min_mapq: int, min_sv_size: int = 0,
+                   n_threads: int = 0):
+    """Inflate a BGZF BAM stream AND count passing records in one fused
+    native pass (the count walk chases the inflate frontier, so it costs no
+    extra wall time).  Returns (data bytearray, (n, max_ops, body_offset)) or
+    None when the library is unavailable / the stream is not BGZF BAM.
+
+    A following bamscan_native(data, ..., counted=...) on the SAME thread
+    skips its bam_count pass, and bam_fill reuses the cached record offsets.
+    """
+    lib = get_library()
+    if lib is None:
+        return None
+    if n_threads <= 0:
+        n_threads = min(8, os.cpu_count() or 1)
+    total = lib.bgzf_uncompressed_size(compressed, len(compressed))
+    if total <= 0:
+        return None
+    out = bytearray(total)
+    view = (ctypes.c_char * total).from_buffer(out)
+    n = ctypes.c_int64(0)
+    max_ops = ctypes.c_int64(0)
+    body_offset = ctypes.c_int64(0)
+    status = lib.bam_inflate_count(compressed, len(compressed), view, total,
+                                   min_mapq, min_sv_size, n_threads,
+                                   ctypes.byref(n), ctypes.byref(max_ops),
+                                   ctypes.byref(body_offset))
+    del view
+    if status != 0:
+        return None
+    return out, (n.value, max_ops.value, body_offset.value)
+
+
 def cigar_compact_rows(buffer, cigar_off, n_cigar, min_sv_size: int,
                        bucket_size_fn):
     """Batch CIGAR compaction over raw BAM bytes: two native passes (counts,
@@ -402,14 +441,19 @@ def cigar_compact_rows(buffer, cigar_off, n_cigar, min_sv_size: int,
 
 
 def bamscan_native(data: bytes, min_mapq: int, bucket_size_fn,
-                   min_sv_size: int = 0):
+                   min_sv_size: int = 0, counted=None):
     """Scan uncompressed BAM bytes natively.  Returns the same tuple layout as
     the Python scanner core, or None when the library is unavailable.
 
     min_sv_size > 0 enables CIGAR compaction during the fill (sub-threshold
     op runs collapse into synthetic advance ops — see
     io/packing.compact_cigar_row): the padded batch is sized from the
-    compacted op counts, typically (N, 32) instead of (N, 8192)."""
+    compacted op counts, typically (N, 32) instead of (N, 8192).
+
+    counted: optional (n, max_ops, body_offset) from bam_scan_fused — skips
+    the bam_count pass (the fill reuses the fused pass's cached offsets when
+    called from the same thread, and falls back to a sequential walk
+    otherwise)."""
     import numpy as np
 
     lib = get_library()
@@ -433,14 +477,19 @@ def bamscan_native(data: bytes, min_mapq: int, bucket_size_fn,
     body_offset = offset
     text = data[8:8 + l_text].split(b"\x00", 1)[0].decode()
 
-    n_out = ctypes.c_int64(0)
-    max_ops_out = ctypes.c_int64(0)
     data_arg = _buffer_arg(data)
-    if lib.bam_count(data_arg, len(data), body_offset, min_mapq, min_sv_size,
-                     ctypes.byref(n_out), ctypes.byref(max_ops_out)) != 0:
-        raise ValueError("truncated BAM stream")
-    n = n_out.value
-    k = bucket_size_fn(max(1, max_ops_out.value))
+    if counted is not None and counted[2] == body_offset:
+        n, max_ops = counted[0], counted[1]
+    else:
+        n_out = ctypes.c_int64(0)
+        max_ops_out = ctypes.c_int64(0)
+        if lib.bam_count(data_arg, len(data), body_offset, min_mapq,
+                         min_sv_size, ctypes.byref(n_out),
+                         ctypes.byref(max_ops_out)) != 0:
+            raise ValueError("truncated BAM stream")
+        n = n_out.value
+        max_ops = max_ops_out.value
+    k = bucket_size_fn(max(1, max_ops))
 
     cigar_words = np.zeros((n, k), dtype=np.int32)
     ref_id = np.empty(n, dtype=np.int32)

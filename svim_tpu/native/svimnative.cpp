@@ -13,8 +13,11 @@
 // Plain C ABI for ctypes.
 
 #include <algorithm>
+#include <atomic>
+#include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -111,6 +114,37 @@ static const LibdeflateApi& libdeflate_api() {
   return api;
 }
 
+// Inflate one BGZF block into its slot of `out` (libdeflate when available,
+// zlib fallback per block); 0 on success.
+static int inflate_one_block(const LibdeflateApi& ld, void* ld_state,
+                             const uint8_t* data, const BgzfBlock& block,
+                             uint8_t* out) {
+  if (block.out_size == 0) return 0;
+  // skip the fixed 12-byte header + xlen extra
+  uint16_t xlen = (uint16_t)(data[block.in_off + 10]
+                             | (data[block.in_off + 11] << 8));
+  int64_t payload = block.in_off + 12 + xlen;
+  int64_t payload_size = block.in_size - (payload - block.in_off) - 8;
+  if (ld_state) {
+    size_t actual = 0;
+    int status = ld.inflate(ld_state, data + payload, (size_t)payload_size,
+                            out + block.out_off, (size_t)block.out_size,
+                            &actual);
+    if (status == 0 && actual == (size_t)block.out_size) return 0;
+    // fall through to zlib for this block
+  }
+  z_stream stream;
+  std::memset(&stream, 0, sizeof(stream));
+  if (inflateInit2(&stream, -15) != Z_OK) return 1;
+  stream.next_in = const_cast<uint8_t*>(data + payload);
+  stream.avail_in = (uInt)payload_size;
+  stream.next_out = out + block.out_off;
+  stream.avail_out = (uInt)block.out_size;
+  int status = inflate(&stream, Z_FINISH);
+  inflateEnd(&stream);
+  return status == Z_STREAM_END ? 0 : 1;
+}
+
 // Inflate all blocks into `out` (caller-allocated) with `n_threads` workers.
 int bgzf_decompress(const uint8_t* data, int64_t size, uint8_t* out,
                     int64_t out_size, int n_threads) {
@@ -122,33 +156,12 @@ int bgzf_decompress(const uint8_t* data, int64_t size, uint8_t* out,
   const LibdeflateApi& ld = libdeflate_api();
   std::vector<int> errors(n_threads, 0);
   auto worker = [&](int worker_id) {
-    z_stream stream;
     void* ld_state = ld.alloc ? ld.alloc() : nullptr;
     for (size_t b = worker_id; b < blocks.size(); b += n_threads) {
-      const BgzfBlock& block = blocks[b];
-      if (block.out_size == 0) continue;
-      // skip the fixed 12-byte header + xlen extra
-      uint16_t xlen = (uint16_t)(data[block.in_off + 10]
-                                 | (data[block.in_off + 11] << 8));
-      int64_t payload = block.in_off + 12 + xlen;
-      int64_t payload_size = block.in_size - (payload - block.in_off) - 8;
-      if (ld_state) {
-        size_t actual = 0;
-        int status = ld.inflate(ld_state, data + payload, (size_t)payload_size,
-                                out + block.out_off, (size_t)block.out_size,
-                                &actual);
-        if (status == 0 && actual == (size_t)block.out_size) continue;
-        // fall through to zlib for this block
+      if (inflate_one_block(ld, ld_state, data, blocks[b], out) != 0) {
+        errors[worker_id] = 1;
+        break;
       }
-      std::memset(&stream, 0, sizeof(stream));
-      if (inflateInit2(&stream, -15) != Z_OK) { errors[worker_id] = 1; break; }
-      stream.next_in = const_cast<uint8_t*>(data + payload);
-      stream.avail_in = (uInt)payload_size;
-      stream.next_out = out + block.out_off;
-      stream.avail_out = (uInt)block.out_size;
-      int status = inflate(&stream, Z_FINISH);
-      inflateEnd(&stream);
-      if (status != Z_STREAM_END) { errors[worker_id] = 1; break; }
     }
     if (ld_state) ld.release(ld_state);
   };
@@ -280,6 +293,130 @@ int bam_count(const uint8_t* data, int64_t size, int64_t body_offset,
   cache.min_sv_size = min_sv_size;
   *out_n = n;
   *out_max_ops = max_ops;
+  return 0;
+}
+
+// Inflate a whole BGZF BAM stream into `out` AND count passing records in
+// the same pass: `n_threads` workers claim blocks dynamically while the
+// calling thread walks record headers chasing the contiguous inflated
+// prefix, so the count costs no extra wall time.  On success the
+// thread-local scan cache holds every passing record offset — a following
+// bam_fill on this thread fans rows across threads without a sequential
+// walk, exactly as after bam_count.
+// Returns 0 on success, -1 truncated/not BAM, -2 out_size mismatch,
+// -3 inflate failure.
+int bam_inflate_count(const uint8_t* comp, int64_t comp_size, uint8_t* out,
+                      int64_t out_size, int min_mapq, int32_t min_sv_size,
+                      int n_threads, int64_t* out_n, int64_t* out_max_ops,
+                      int64_t* out_body_offset) {
+  std::vector<BgzfBlock> blocks;
+  int64_t total = 0;
+  if (scan_bgzf(comp, comp_size, &blocks, &total) != 0) return -1;
+  if (total != out_size) return -2;
+  if (n_threads < 1) n_threads = 1;
+  const LibdeflateApi& ld = libdeflate_api();
+
+  std::mutex mu;
+  std::condition_variable cv;
+  std::vector<uint8_t> done(blocks.size(), 0);
+  size_t prefix = 0;   // blocks [0, prefix) all inflated
+  int64_t avail = 0;   // contiguous inflated bytes
+  std::atomic<int64_t> next_block{0};
+  std::atomic<int> inflate_error{0};
+
+  auto worker = [&]() {
+    void* ld_state = ld.alloc ? ld.alloc() : nullptr;
+    for (;;) {
+      int64_t b = next_block.fetch_add(1);
+      if (b >= (int64_t)blocks.size()) break;
+      if (inflate_one_block(ld, ld_state, comp, blocks[b], out) != 0) {
+        inflate_error.store(1);
+        break;
+      }
+      {
+        std::lock_guard<std::mutex> lock(mu);
+        done[b] = 1;
+        while (prefix < blocks.size() && done[prefix]) {
+          avail = blocks[prefix].out_off + blocks[prefix].out_size;
+          prefix++;
+        }
+      }
+      cv.notify_all();
+    }
+    if (ld_state) ld.release(ld_state);
+    cv.notify_all();
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+
+  // record walk on the calling thread, behind the inflate frontier
+  int64_t avail_local = 0;
+  auto ensure = [&](int64_t need) -> bool {
+    if (need <= avail_local) return true;
+    if (need > out_size) return false;
+    std::unique_lock<std::mutex> lock(mu);
+    cv.wait(lock, [&] {
+      return avail >= need || inflate_error.load()
+             || prefix == blocks.size();
+    });
+    avail_local = avail;
+    return avail_local >= need;
+  };
+
+  BamScanCache& cache = g_bam_scan_cache;
+  cache.data = nullptr;  // invalidate until the walk completes
+  cache.offsets.clear();
+  int rc = 0;
+  int64_t n = 0;
+  int64_t max_ops = 1;
+  int64_t body_offset = -1;
+  do {
+    if (!ensure(12) || std::memcmp(out, "BAM\x01", 4) != 0) { rc = -1; break; }
+    int64_t off = 8 + (int64_t)rd_i32(out + 4);  // skip header text
+    if (!ensure(off + 4)) { rc = -1; break; }
+    int32_t n_ref = rd_i32(out + off);
+    off += 4;
+    for (int32_t i = 0; i < n_ref && rc == 0; ++i) {
+      if (!ensure(off + 4)) { rc = -1; break; }
+      off += 4 + (int64_t)rd_i32(out + off) + 4;  // l_name, name, l_ref
+    }
+    if (rc != 0 || !ensure(off)) { rc = -1; break; }
+    body_offset = off;
+    while (off + 4 <= out_size) {
+      if (!ensure(off + 4)) { rc = -1; break; }
+      int32_t block = rd_i32(out + off);
+      if (off + 4 + block > out_size || block < 32) { rc = -1; break; }
+      if (!ensure(off + 4 + block)) { rc = -1; break; }
+      const uint8_t* r = out + off + 4;
+      uint8_t mapq = r[9];
+      uint16_t n_cigar = rd_u16(r + 12);
+      uint16_t flag = rd_u16(r + 14);
+      if ((flag & (kFUnmap | kFSecondary)) == 0 && mapq >= min_mapq) {
+        n++;
+        cache.offsets.push_back(off);
+        int64_t final_ops = n_cigar;
+        if (min_sv_size > 0 && n_cigar > 0) {
+          uint8_t l_read_name = r[8];
+          int64_t c = cigar_compact_core(r + 32 + l_read_name, n_cigar,
+                                         min_sv_size, nullptr, 0);
+          if (c >= 0) final_ops = c;
+        }
+        if (final_ops > max_ops) max_ops = final_ops;
+      }
+      off += 4 + block;
+    }
+  } while (false);
+  for (auto& thread : threads) thread.join();
+  if (inflate_error.load()) return -3;
+  if (rc != 0) return rc;
+  cache.data = out;
+  cache.size = out_size;
+  cache.body_offset = body_offset;
+  cache.min_mapq = min_mapq;
+  cache.min_sv_size = min_sv_size;
+  *out_n = n;
+  *out_max_ops = max_ops;
+  *out_body_offset = body_offset;
   return 0;
 }
 

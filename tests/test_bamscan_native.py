@@ -104,3 +104,47 @@ def test_native_scanner_matches_python(min_sv_size):
             assert ([sig.as_string() for sig in sigs_n]
                     == [sig.as_string() for sig in sigs_p])
             assert len(sigs_n) > 0
+
+
+@pytest.mark.parametrize("min_sv_size", [0, 40])
+def test_fused_inflate_count_matches_two_pass(min_sv_size):
+    """bam_scan_fused (inflate + count chasing the frontier) must produce the
+    same inflated bytes, counts, and packed columns as the two-pass path."""
+    from svim_tpu import native
+
+    if native.get_library() is None:
+        pytest.skip("native library unavailable")
+    with tempfile.TemporaryDirectory() as tmp_dir:
+        path = _make_bam(tmp_dir)
+        with open(path, "rb") as handle:
+            compressed = handle.read()
+        fused = native.bam_scan_fused(compressed, 20, min_sv_size)
+        assert fused is not None
+        data_fused, counted = fused
+        data_classic = native.bgzf_decompress_parallel(compressed)
+        assert bytes(data_fused) == bytes(data_classic)
+
+        result_fused = native.bamscan_native(data_fused, 20,
+                                             bamscan.bucket_size, min_sv_size,
+                                             counted=counted)
+        result_classic = native.bamscan_native(data_classic, 20,
+                                               bamscan.bucket_size, min_sv_size)
+        assert result_fused is not None and result_classic is not None
+        for field_fused, field_classic in zip(result_fused, result_classic):
+            if isinstance(field_fused, np.ndarray):
+                assert np.array_equal(field_fused, field_classic)
+            else:
+                assert field_fused == field_classic
+
+        # end-to-end: scan_bam (which takes the fused path) vs the in-memory
+        # two-pass scan of the same bytes
+        header_a, packed_a, sa_a = bamscan.scan_bam(path, 20, min_sv_size)
+        header_b, packed_b, sa_b = bamscan.scan_bam_bytes(data_classic, 20,
+                                                          min_sv_size)
+        assert header_a.references == header_b.references
+        n = packed_a.n
+        assert n == packed_b.n > 0
+        assert np.array_equal(np.asarray(packed_a.cigar_words),
+                              np.asarray(packed_b.cigar_words))
+        assert all(packed_a.names[row] == packed_b.names[row] for row in range(n))
+        assert all(sa_a[row] == sa_b[row] for row in range(n))
