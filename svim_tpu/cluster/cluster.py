@@ -20,13 +20,15 @@ from __future__ import annotations
 
 import logging
 from random import sample, seed
-from statistics import mean, stdev
+from statistics import mean
+
+from svim_tpu.utils.exactstats import stdev_half_ints, stdev_ints
 
 import numpy as np
-from scipy.cluster.hierarchy import fcluster, linkage
 
 from svim_tpu.candidates import CandidateDuplicationInterspersed
 from svim_tpu.cluster import accel
+from svim_tpu.cluster.scipy_fast import average_linkage, fcluster_distance
 from svim_tpu.cluster.distance import (
     SAME_READ_WALL,
     span_position_distance,
@@ -214,8 +216,8 @@ def finish_clusters_from_partitions(work, reference, options):
 
         distances = accel.condensed_with_wall(matrix, reads,
                                               wall_same_read=element_type != "INV")
-        dendrogram = linkage(distances, method="average")
-        labels = list(fcluster(dendrogram, options.cluster_max_distance, criterion="distance"))
+        dendrogram = average_linkage(distances)
+        labels = list(fcluster_distance(dendrogram, options.cluster_max_distance))
         clusters_final.extend(_group_by_labels(deduplicated, labels))
     if partitions and partitions[0]:
         logging.debug("%d out of %d partitions for %s exceeded %d elements.",
@@ -264,8 +266,10 @@ def _location_stats(locations):
     average_start = sum(starts) / len(starts)
     average_end = sum(ends) / len(ends)
     if len(locations) > 1:
-        std_span = stdev([end - start for start, end in locations])
-        std_pos = stdev([(start + end) / 2 for start, end in locations])
+        # bit-identical statistics.stdev over the integer spans / half-integer
+        # centers, via exact integer arithmetic (utils/exactstats.py)
+        std_span = stdev_ints([end - start for start, end in locations])
+        std_pos = stdev_half_ints([start + end for start, end in locations])
     else:
         std_span = None
         std_pos = None
@@ -407,8 +411,8 @@ def partition_and_cluster_candidates(candidates, options, type):
         # (SVIM_clustering.py:110-119), so the vectorized matrix applies
         matrix = accel.distance_matrix(partition_sample, "DUP_INT", None, options)
         distances = matrix[np.triu_indices(len(partition_sample), k=1)]
-        dendrogram = linkage(distances, method="average")
-        labels = list(fcluster(dendrogram, options.cluster_max_distance, criterion="distance"))
+        dendrogram = average_linkage(distances)
+        labels = list(fcluster_distance(dendrogram, options.cluster_max_distance))
         clusters.extend(_group_by_labels(partition_sample, labels))
     if partitions and partitions[0]:
         logging.debug("%d out of %d partitions for %s exceeded %d elements.",

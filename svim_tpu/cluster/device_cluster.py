@@ -33,7 +33,7 @@ from __future__ import annotations
 from typing import List, Optional
 
 import numpy as np
-from scipy.cluster.hierarchy import fcluster
+from svim_tpu.cluster.scipy_fast import average_linkage, fcluster_distance
 
 from svim_tpu.cluster import accel
 from svim_tpu.cluster.distance import SAME_READ_WALL
@@ -101,7 +101,7 @@ def labels_from_merges(merge_lo, merge_hi, heights, n_survivors: int,
         rows += 1
     if rows != m - 1:
         return None
-    return fcluster(z, threshold, criterion="distance")
+    return fcluster_distance(z, threshold)
 
 
 def _group_survivors(survivors, labels):
@@ -219,14 +219,12 @@ def _host_linkage_clusters(matrix, reads, survivors, threshold, wall_same_read):
     """Exact float64 host linkage over an already-built (deduped) matrix —
     identical math/order to the fallback path in cluster/cluster.py, reusing
     the matrix instead of recomputing every pair distance."""
-    from scipy.cluster.hierarchy import linkage
-
     if wall_same_read:
         distances = accel.condensed_with_wall(matrix, reads, wall_same_read=True)
     else:
         distances = matrix[np.triu_indices(matrix.shape[0], k=1)]
-    dendrogram = linkage(distances, method="average")
-    labels = fcluster(dendrogram, threshold, criterion="distance")
+    dendrogram = average_linkage(distances)
+    labels = fcluster_distance(dendrogram, threshold)
     return _group_survivors(survivors, labels)
 
 
