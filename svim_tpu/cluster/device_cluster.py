@@ -274,6 +274,16 @@ def _dispatch_matrix(samples, element_type, reference, options, ed_cache,
                 matrix, reads, survivors, threshold, dedup_same_read),
                 dropped_count)
             continue
+        condensed = matrix[np.triu_indices(len(survivors), k=1)]
+        if len(np.unique(condensed)) != len(condensed):
+            # exactly-tied pair distances (common for deep-coverage INS
+            # pileups with identical inserts): the kernel would flag the tie
+            # (min_gap 0) and fall back anyway — skip the wasted dispatch and
+            # the fetch round trip, resolve on the exact host path now
+            fallback[index] = DeviceClusterResult(_host_linkage_clusters(
+                matrix, reads, survivors, threshold, dedup_same_read),
+                dropped_count)
+            continue
         prepared.append((index, survivors, matrix, reads, dropped_count))
 
     by_bucket = {}
