@@ -194,7 +194,9 @@ def _signatures_from_grouped_packed(packed, group_sizes, name_table, options):
 
     sv_signatures = []
     twins = []
-    for row in range(packed.n):
+    # events are sparse: iterate only rows that produced signatures (sorted,
+    # so emission order still matches the sequential host path)
+    for row in sorted(set(per_row_sigs) | set(per_row_twins)):
         sv_signatures.extend(per_row_sigs.get(row, ()))
         twins.extend(per_row_twins.get(row, ()))
     return sv_signatures, twins
@@ -364,7 +366,9 @@ def signatures_from_packed(packed, sa_tags, name_table, options,
     # overlap with the in-flight device pass: SA-tag parsing needs no geometry
     supplementary = (packed.flag & FSUPPLEMENTARY) != 0
     sa_parsed: Dict[int, List] = {}
-    for row in range(packed.n):
+    present = getattr(sa_tags, "present_rows", None)
+    sa_rows = present().tolist() if present is not None else range(packed.n)
+    for row in sa_rows:
         sa_tag = sa_tags[row]
         if sa_tag is None or supplementary[row]:
             continue
@@ -450,7 +454,9 @@ def signatures_from_packed(packed, sa_tags, name_table, options,
 
     sv_signatures = []
     twins = []
-    for row in range(packed.n):
+    # events are sparse: iterate only rows that produced signatures (sorted,
+    # so emission order still matches the sequential host path)
+    for row in sorted(set(per_row_sigs) | set(per_row_twins)):
         sv_signatures.extend(per_row_sigs.get(row, ()))
         twins.extend(per_row_twins.get(row, ()))
     return sv_signatures, twins

@@ -142,6 +142,11 @@ class LazyStrings:
             return None
         return self._data[offset:offset + int(self._lengths[row])].decode()
 
+    def present_rows(self):
+        """Rows with a value (negative offset = absent) — lets consumers skip
+        the per-row lookup over mostly-empty columns like SA tags."""
+        return np.nonzero(np.asarray(self._offsets) >= 0)[0]
+
 
 def scan_bam_bytes(data: bytes, min_mapq: int = 0, min_sv_size: int = 0,
                    counted=None):
