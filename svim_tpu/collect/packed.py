@@ -19,7 +19,6 @@ import numpy as np
 from svim_tpu.collect.inter import _Emitter, _merge_tandem_runs, _pair_translocations
 from svim_tpu.io import cigar as cigar_utils
 from svim_tpu.io.packing import FSUPPLEMENTARY, FSECONDARY, FUNMAP, pack_alignments
-from svim_tpu.ops.segments_kernel import classify_segment_pairs
 from svim_tpu.signatures import (
     SignatureDeletion,
     SignatureInsertion,
@@ -126,33 +125,36 @@ def _signatures_from_grouped_packed(packed, group_sizes, name_table, options):
     per_row_sigs: Dict[int, List] = {}
     per_row_twins: Dict[int, List] = {}
 
-    rows, pos_ref, pos_read, lengths, is_ins = _run_collect_scan(packed, options)
+    dispatched = dispatch_collect_scan(packed, options)
+    rerun, result, max_events = dispatched
 
-    # split-read groups from the real supplementary rows: strand-corrected
-    # query bounds via the device geometry
+    # split-read groups from the real supplementary rows: every slot is a
+    # packed row, so the fused kernel derives all geometry on device and the
+    # events + classifications come back in one fetch
     group_rows: List[int] = []
-    group_segments: List[List] = []
+    slot_rows: List[List[int]] = []
     row_base = 0
     for size in group_sizes:
         if size >= 2:
-            segments = []
-            for row in range(row_base, row_base + size):
-                if packed.is_reverse[row]:
-                    read_length = int(packed.read_len[row])
-                    q_pair = (read_length - int(packed.qa_end[row]),
-                              read_length - int(packed.qa_start[row]))
-                else:
-                    q_pair = (int(packed.qa_start[row]), int(packed.qa_end[row]))
-                segments.append((q_pair[0], q_pair[1], int(packed.ref_id[row]),
-                                 int(packed.ref_start[row]), int(packed.ref_end[row]),
-                                 bool(packed.is_reverse[row])))
-            segments.sort(key=lambda seg: (seg[0], seg[1]))
             group_rows.append(row_base)  # attach split sigs to the primary row
-            group_segments.append(segments[:MAX_SEGMENTS])
+            slot_rows.append(list(range(row_base, row_base + size)))
         row_base += size
 
-    classify_outputs = (_dispatch_classify(group_segments, options)
-                        if group_rows else None)
+    classify_outputs = None
+    if group_rows:
+        classify_outputs = _dispatch_classify_fused(
+            packed, group_rows, [], result, options, slot_rows=slot_rows)
+
+    import jax
+
+    if classify_outputs is not None:
+        fetched_collect, fetched_classify = jax.device_get(
+            (result, classify_outputs))
+    else:
+        fetched_collect = jax.device_get(result)
+        fetched_classify = None
+    rows, pos_ref, pos_read, lengths, is_ins = _consume_collect(
+        packed, rerun, max_events, fetched_collect)
 
     for row, p_ref, p_read, length, ins in zip(rows.tolist(), pos_ref.tolist(),
                                                pos_read.tolist(), lengths.tolist(),
@@ -173,12 +175,14 @@ def _signatures_from_grouped_packed(packed, group_sizes, name_table, options):
                     contig, start, "fwd", contig, start + length, "fwd",
                     "cigar", name))
 
-    if classify_outputs is not None:
+    if fetched_classify is not None:
         # attach split-read signatures AFTER the group's indel signatures:
         # route them to the group's LAST row + a sub-order past any indels
         split_sigs: Dict[int, List] = {}
         split_twins: Dict[int, List] = {}
-        _classify_groups(group_rows, group_segments, classify_outputs, packed,
+        group_n = [min(len(slot_list), MAX_SEGMENTS)
+                   for slot_list in slot_rows]
+        _emit_classified(group_rows, group_n, fetched_classify, packed,
                          getrname, options, split_sigs, split_twins)
         # reference order within a read: primary indels, suppl indels, split
         # signatures — so splice split sigs after the group's final row
@@ -311,16 +315,24 @@ def finish_collect_scan(packed, dispatched, options):
     overflow)."""
     import jax
 
+    rerun, result, max_events = dispatched
+    return _consume_collect(packed, rerun, max_events, jax.device_get(result))
+
+
+def _consume_collect(packed, rerun, max_events, fetched):
+    """Consume an already-fetched COLLECT result (re-running with a larger
+    event bound on overflow), fill the geometry columns, return events."""
+    import jax
+
     from svim_tpu.ops.cigar_kernel import _round_up_pow2
 
-    rerun, result, max_events = dispatched
     while True:
         (ref_end, read_len, qa_start, qa_end, has_hard, rows, pos_ref,
-         pos_read, lengths, is_ins, count) = jax.device_get(result)
+         pos_read, lengths, is_ins, count) = fetched
         if count <= max_events:
             break
         max_events = _round_up_pow2(int(count))
-        result = rerun(max_events)
+        fetched = jax.device_get(rerun(max_events))
     packed.ref_end = np.asarray(ref_end)
     packed.read_len = np.asarray(read_len)
     packed.qa_start = np.asarray(qa_start)
@@ -376,47 +388,47 @@ def signatures_from_packed(packed, sa_tags, name_table, options,
         if segments_supplementary:
             sa_parsed[row] = segments_supplementary
 
-    rows, pos_ref, pos_read, lengths, is_ins = finish_collect_scan(
-        packed, dispatched, options)
-
-    # ---- split-read segment groups (dispatch the classifier BEFORE the host
-    # indel materialization so the two overlap) -------------------------------------
-    has_hard_clip = packed.has_hard_clip
+    # ---- split-read segment groups: the fused classify kernel sorts segments
+    # and takes primary geometry straight from the in-flight COLLECT pass, so
+    # NO geometry fetch is needed before dispatching it — COLLECT events and
+    # classifications come back in ONE round trip -----------------------------------
     group_rows: List[int] = []
-    group_segments: List[List] = []
+    group_sa_segments: List[List] = []
     fallback_rows: List[int] = []
     for row, segments_supplementary in sa_parsed.items():
-        if has_hard_clip[row]:
-            continue
-        if packed.is_reverse[row]:
-            read_length = int(packed.read_len[row])
-            primary_q = (read_length - int(packed.qa_end[row]),
-                         read_length - int(packed.qa_start[row]))
-        else:
-            primary_q = (int(packed.qa_start[row]), int(packed.qa_end[row]))
-        segments = [(primary_q[0], primary_q[1], int(packed.ref_id[row]),
-                     int(packed.ref_start[row]), int(packed.ref_end[row]),
-                     bool(packed.is_reverse[row]))]
-        segments += [(seg.q_start, seg.q_end, seg.ref_id, seg.ref_start,
-                      seg.ref_end, seg.is_reverse) for seg in segments_supplementary]
-        segments.sort(key=lambda seg: (seg[0], seg[1]))
-        if len(segments) > MAX_SEGMENTS:
+        size = 1 + len(segments_supplementary)
+        if size > MAX_SEGMENTS:
             if packed.records is not None:
                 # pathological chimeras: run the sequential host analyzer
                 # later (after indel materialization, preserving row order)
                 fallback_rows.append(row)
                 continue
             logging.warning("read %s has %d alignment segments; truncating to %d",
-                            packed.names[row], len(segments), MAX_SEGMENTS)
-            segments = segments[:MAX_SEGMENTS]
+                            packed.names[row], size, MAX_SEGMENTS)
         group_rows.append(row)
-        group_segments.append(segments)
+        group_sa_segments.append(segments_supplementary)
 
     classify_outputs = None
     if group_rows:
-        classify_outputs = _dispatch_classify(group_segments, options)
+        rerun, result, max_events = dispatched
+        classify_outputs = _dispatch_classify_fused(
+            packed, group_rows, group_sa_segments, result, options)
 
-    # host indel materialization overlaps the classify kernel
+    # one batched fetch for BOTH device passes (each device_get pays a full
+    # RPC round trip over the tunneled TPU)
+    import jax
+
+    rerun, result, max_events = dispatched
+    if classify_outputs is not None:
+        fetched_collect, fetched_classify = jax.device_get(
+            (result, classify_outputs))
+    else:
+        fetched_collect = jax.device_get(result)
+        fetched_classify = None
+    rows, pos_ref, pos_read, lengths, is_ins = _consume_collect(
+        packed, rerun, max_events, fetched_collect)
+
+    # host indel materialization
     for row, p_ref, p_read, length, ins in zip(rows.tolist(), pos_ref.tolist(),
                                                pos_read.tolist(), lengths.tolist(),
                                                is_ins.tolist()):
@@ -448,8 +460,10 @@ def signatures_from_packed(packed, sa_tags, name_table, options,
         per_row_sigs.setdefault(row, []).extend(sigs)
         per_row_twins.setdefault(row, []).extend(twin_sigs)
 
-    if classify_outputs is not None:
-        _classify_groups(group_rows, group_segments, classify_outputs, packed,
+    if fetched_classify is not None:
+        group_sizes = [min(1 + len(segs), MAX_SEGMENTS)
+                       for segs in group_sa_segments]
+        _emit_classified(group_rows, group_sizes, fetched_classify, packed,
                          getrname, options, per_row_sigs, per_row_twins)
 
     sv_signatures = []
@@ -462,12 +476,27 @@ def signatures_from_packed(packed, sa_tags, name_table, options,
     return sv_signatures, twins
 
 
-def _dispatch_classify(group_segments, options):
-    """Build the padded segment arrays and dispatch the pair-classification
-    kernel (async); returns (device outputs, is_reverse, ref_id)."""
-    n_groups = len(group_segments)
-    s_pad = max(2, max(len(segments) for segments in group_segments))
+def _dispatch_classify_fused(packed, group_rows, group_sa_segments,
+                             device_result, options, slot_rows=None):
+    """Dispatch the fused sort+classify kernel (async).
 
+    Slot 0 of each group is the primary row (geometry gathered on device from
+    the in-flight COLLECT outputs); remaining slots carry host-parsed SA-tag
+    segment geometry.  `slot_rows` overrides the slot layout with real packed
+    rows per slot (queryname-sorted path), in which case group_sa_segments
+    must be empty lists and no hard-clip gate applies."""
+    from svim_tpu.ops.segments_kernel import classify_groups_fused
+
+    n_groups = len(group_rows)
+    if slot_rows is not None:
+        s_pad = max(2, max(len(slot_list) for slot_list in slot_rows))
+    else:
+        # oversized groups are sorted fully on device, then truncated to the
+        # first MAX_SEGMENTS — so every segment participates in the sort,
+        # exactly like the host's segments.sort()[:MAX_SEGMENTS]
+        s_pad = max(2, max(1 + len(segs) for segs in group_sa_segments))
+
+    slot_row = np.full((n_groups, s_pad), -1, dtype=np.int32)
     q_start = np.zeros((n_groups, s_pad), dtype=np.int32)
     q_end = np.zeros((n_groups, s_pad), dtype=np.int32)
     ref_id = np.zeros((n_groups, s_pad), dtype=np.int32)
@@ -475,37 +504,53 @@ def _dispatch_classify(group_segments, options):
     ref_end = np.zeros((n_groups, s_pad), dtype=np.int32)
     is_reverse = np.zeros((n_groups, s_pad), dtype=bool)
     valid = np.zeros((n_groups, s_pad), dtype=bool)
-    for g, segments in enumerate(group_segments):
-        for s, segment in enumerate(segments):
-            (q_start[g, s], q_end[g, s], ref_id[g, s], ref_start[g, s],
-             ref_end[g, s], is_reverse[g, s]) = segment
-        valid[g, :len(segments)] = True
+    if slot_rows is not None:
+        hard_gate = np.full(n_groups, -1, dtype=np.int32)
+        for g, slot_list in enumerate(slot_rows):
+            slot_row[g, :len(slot_list)] = slot_list
+            valid[g, :len(slot_list)] = True
+    else:
+        hard_gate = np.asarray(group_rows, dtype=np.int32)
+        for g, (row, segments) in enumerate(zip(group_rows,
+                                                group_sa_segments)):
+            slot_row[g, 0] = row
+            valid[g, 0] = True
+            for s, seg in enumerate(segments, start=1):
+                q_start[g, s] = seg.q_start
+                q_end[g, s] = seg.q_end
+                ref_id[g, s] = seg.ref_id
+                ref_start[g, s] = seg.ref_start
+                ref_end[g, s] = seg.ref_end
+                is_reverse[g, s] = seg.is_reverse
+                valid[g, s] = True
 
-    outputs = classify_segment_pairs(
-        q_start, q_end, ref_id, ref_start, ref_end, is_reverse, valid,
+    ref_end_dev, read_len_dev, qa_start_dev, qa_end_dev, has_hard_dev = (
+        device_result[:5])
+    return classify_groups_fused(
+        slot_row, q_start, q_end, ref_id, ref_start, ref_end, is_reverse,
+        valid, hard_gate,
+        np.asarray(packed.ref_id, dtype=np.int32),
+        np.asarray(packed.ref_start, dtype=np.int32),
+        np.asarray(packed.is_reverse),
+        ref_end_dev, read_len_dev, qa_start_dev, qa_end_dev, has_hard_dev,
         np.int32(options.min_sv_size), np.int32(options.max_sv_size),
         np.int32(options.segment_gap_tolerance),
-        np.int32(options.segment_overlap_tolerance))
-    return outputs, is_reverse, ref_id
+        np.int32(options.segment_overlap_tolerance),
+        max_segments=MAX_SEGMENTS)
 
 
-def _classify_groups(group_rows, group_segments, dispatched, packed, getrname,
+def _emit_classified(group_rows, group_sizes, fetched, packed, getrname,
                      options, per_row_sigs, per_row_twins):
-    """Consume the pair-classification kernel outputs and assemble per-read
+    """Consume fetched pair-classification outputs and assemble per-read
     signatures in reference order."""
-    outputs, is_reverse, ref_id = dispatched
-    import jax
-
-    # one batched fetch: per-array np.asarray pays a full RPC round trip
-    # each over the tunneled TPU
     (code, p1, p2, aux, contig2, qpos, twin_mask, twin_p1, twin_p2,
-     twin_aux) = jax.device_get(outputs)
+     twin_aux, is_reverse, ref_id) = fetched
 
     for g, row in enumerate(group_rows):
         if not (code[g] != 0).any() and not twin_mask[g].any():
             continue
         emit = _Emitter(packed.names[row], options)
-        n_pairs = len(group_segments[g]) - 1
+        n_pairs = group_sizes[g] - 1
         for pair in range(n_pairs):
             event = int(code[g, pair])
             if twin_mask[g, pair] and options.all_bnds:

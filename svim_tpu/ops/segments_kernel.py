@@ -35,6 +35,89 @@ def classify_segment_pairs(q_start, q_end, ref_id, ref_start, ref_end,
                            min_sv_size, max_sv_size,
                            segment_gap_tolerance, segment_overlap_tolerance):
     """Classify adjacent segment pairs.  All inputs (R, S) int32/bool."""
+    return _classify_core(q_start, q_end, ref_id, ref_start, ref_end,
+                          is_reverse, valid, min_sv_size, max_sv_size,
+                          segment_gap_tolerance, segment_overlap_tolerance)
+
+
+@partial(jax.jit, static_argnames=("max_segments",))
+def classify_groups_fused(slot_row, q_start_h, q_end_h, ref_id_h, ref_start_h,
+                          ref_end_h, is_reverse_h, valid, hard_gate_row,
+                          ref_id_all, ref_start_all, is_reverse_all,
+                          ref_end_dev, read_len_dev, qa_start_dev, qa_end_dev,
+                          has_hard_dev,
+                          min_sv_size, max_sv_size,
+                          segment_gap_tolerance, segment_overlap_tolerance,
+                          max_segments=64):
+    """Sort per-group segments ON DEVICE and classify adjacent pairs.
+
+    Fusing the strand-corrected query-bound computation and the
+    (q_start, q_end) sort into the same program as the COLLECT geometry lets
+    the caller fetch COLLECT events and split-read classifications in ONE
+    round trip (a full RPC each over the tunneled TPU).
+
+    slot_row: (G, S) packed row index per slot, -1 for slots whose geometry
+    is host-provided (SA-tag segments; the *_h arrays supply those).  Rows'
+    query bounds come from the still-on-device qa/read_len outputs of
+    ops.cigar_kernel.collect_scan.  hard_gate_row: (G,) packed row whose
+    hard-clip flag disables the whole group (reference skips SA
+    reconstruction for hard-clipped primaries, SVIM_COLLECT.py:47), or -1.
+
+    Returns the classify_segment_pairs outputs plus the sorted per-pair
+    current-segment strand and ref id (the consumer's emission inputs).
+    """
+    rows = jnp.maximum(slot_row, 0)
+    from_row = slot_row >= 0
+    rev_row = is_reverse_all[rows]
+    read_len = read_len_dev[rows]
+    q0_row = jnp.where(rev_row, read_len - qa_end_dev[rows], qa_start_dev[rows])
+    q1_row = jnp.where(rev_row, read_len - qa_start_dev[rows], qa_end_dev[rows])
+    q_start = jnp.where(from_row, q0_row, q_start_h)
+    q_end = jnp.where(from_row, q1_row, q_end_h)
+    ref_id = jnp.where(from_row, ref_id_all[rows], ref_id_h)
+    ref_start = jnp.where(from_row, ref_start_all[rows], ref_start_h)
+    ref_end = jnp.where(from_row, ref_end_dev[rows], ref_end_h)
+    is_reverse = jnp.where(from_row, rev_row, is_reverse_h)
+
+    # stable sort by (q_start, q_end): two stable passes, least key first —
+    # ties keep slot order (primary first, then SA/supplementary order),
+    # matching the host's list.sort
+    big = jnp.int32(2**31 - 1)
+    key_end = jnp.where(valid, q_end, big)
+    perm1 = jnp.argsort(key_end, axis=1, stable=True)
+    key_start = jnp.take_along_axis(jnp.where(valid, q_start, big), perm1,
+                                    axis=1)
+    perm2 = jnp.argsort(key_start, axis=1, stable=True)
+    perm = jnp.take_along_axis(perm1, perm2, axis=1)
+
+    def sort_field(field):
+        return jnp.take_along_axis(field, perm, axis=1)
+
+    q_start = sort_field(q_start)
+    q_end = sort_field(q_end)
+    ref_id = sort_field(ref_id)
+    ref_start = sort_field(ref_start)
+    ref_end = sort_field(ref_end)
+    is_reverse = sort_field(is_reverse)
+    valid_sorted = sort_field(valid)
+    # truncate to the first max_segments sorted segments (host behavior)
+    slot_index = jnp.arange(q_start.shape[1], dtype=jnp.int32)[None, :]
+    valid_sorted = valid_sorted & (slot_index < max_segments)
+    gate_rows = jnp.maximum(hard_gate_row, 0)
+    enabled = jnp.where(hard_gate_row >= 0, ~has_hard_dev[gate_rows], True)
+    valid_sorted = valid_sorted & enabled[:, None]
+
+    outputs = _classify_core(q_start, q_end, ref_id, ref_start, ref_end,
+                             is_reverse, valid_sorted, min_sv_size,
+                             max_sv_size, segment_gap_tolerance,
+                             segment_overlap_tolerance)
+    return outputs + (is_reverse[:, :-1], ref_id[:, :-1])
+
+
+def _classify_core(q_start, q_end, ref_id, ref_start, ref_end,
+                   is_reverse, valid,
+                   min_sv_size, max_sv_size,
+                   segment_gap_tolerance, segment_overlap_tolerance):
     cur = slice(None, -1)
     nxt = slice(1, None)
 
