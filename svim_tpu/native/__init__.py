@@ -374,6 +374,31 @@ def bgzf_decompress_parallel(data: bytes, n_threads: int = 0):
     return out
 
 
+_STREAM_POOL: list = []   # up to two retired inflate buffers (ping-pong)
+
+
+def _stream_buffer(total: int) -> bytearray:
+    """Reusable inflate output buffer.
+
+    Allocating + zero-filling a fresh hundreds-of-MB bytearray per scan
+    costs a full memset plus first-touch page faults (and, on this kernel,
+    triggers wildly variable compaction work — see CLAUDE.md).  A buffer is
+    recycled only when it has exactly the right size and nobody else holds a
+    reference — downstream LazySequences/LazyStrings views keep a scan's
+    buffer alive, which safely defeats reuse while results are live.  Two
+    slots cover the common scan-while-previous-results-alive pattern."""
+    import sys
+
+    for buffer in _STREAM_POOL:
+        # refs: pool list + loop variable + getrefcount argument
+        if len(buffer) == total and sys.getrefcount(buffer) == 3:
+            return buffer
+    buffer = bytearray(total)
+    _STREAM_POOL.append(buffer)
+    del _STREAM_POOL[:-2]
+    return buffer
+
+
 def bam_scan_fused(compressed: bytes, min_mapq: int, min_sv_size: int = 0,
                    n_threads: int = 0):
     """Inflate a BGZF BAM stream AND count passing records in one fused
@@ -392,7 +417,7 @@ def bam_scan_fused(compressed: bytes, min_mapq: int, min_sv_size: int = 0,
     total = lib.bgzf_uncompressed_size(compressed, len(compressed))
     if total <= 0:
         return None
-    out = bytearray(total)
+    out = _stream_buffer(total)
     view = (ctypes.c_char * total).from_buffer(out)
     n = ctypes.c_int64(0)
     max_ops = ctypes.c_int64(0)

@@ -81,3 +81,59 @@ def test_packed_matches_host(tmp_path, default_options, seed, all_bnds):
         if host_sig.type == "INS":
             assert host_sig.sequence == packed_sig.sequence
     assert [t.as_string() for t in host_twins] == [t.as_string() for t in packed_twins]
+
+
+def test_oversized_chimera_fallback_and_truncation(tmp_path, default_options):
+    """Reads with more than MAX_SEGMENTS alignments: the record-backed path
+    must fall back to the exact host analyzer (no truncation), and the
+    scan path (no records) must truncate after sorting with a warning, not
+    crash."""
+    import logging
+
+    from svim_tpu.collect.packed import MAX_SEGMENTS
+    from svim_tpu.io import bam as bamio
+    from svim_tpu.io.bamscan import scan_bam
+    from svim_tpu.io.sam import AlignmentHeader, parse_sam_line
+    from svim_tpu.collect.packed import signatures_from_packed
+
+    n_extra = MAX_SEGMENTS + 6
+    read_length = 1000 * (n_extra + 1)
+    seq = "A" * read_length
+    # strictly colinear segments with 500 bp reference gaps: every adjacent
+    # pair is an independent DEL, so truncating the segment list truncates
+    # the signature list prefix-wise (no tandem merging / BND pairing)
+    sa_entries = []
+    for k in range(1, n_extra + 1):
+        clip_left = 1000 * k
+        clip_right = read_length - clip_left - 1000
+        sa_entries.append("chr1,{0},+,{1}S1000M{2}S,60,0".format(
+            100 + 1500 * k + 1, clip_left, clip_right))
+    line = ("chimera\t0\tchr1\t101\t60\t1000M{0}S\t*\t0\t0\t{1}\t*\tSA:Z:{2};"
+            .format(read_length - 1000, seq, ";".join(sa_entries)))
+    sam_path = tmp_path / "chimera.sam"
+    sam_path.write_text(HEADER + line + "\n")
+
+    host_sigs, _ = analyze_alignment_file_coordsorted(
+        AlignmentFile(str(sam_path)), default_options)
+    packed_sigs, _ = collect_signatures_packed(
+        AlignmentFile(str(sam_path)), default_options)
+    # record-backed path: exact host parity via the fallback analyzer
+    assert ([sig.as_string() for sig in packed_sigs]
+            == [sig.as_string() for sig in host_sigs])
+    assert len(host_sigs) > 0
+
+    # scan path (records=None): sorted truncation to MAX_SEGMENTS, warning
+    header = AlignmentHeader.from_text(HEADER)
+    record = parse_sam_line(line, header)
+    bam_path = tmp_path / "chimera.bam"
+    bamio.write_bam(str(bam_path), header, [record])
+    header2, packed, sa_tags = scan_bam(str(bam_path),
+                                        default_options.min_mapq,
+                                        default_options.min_sv_size)
+    scan_sigs, _ = signatures_from_packed(packed, sa_tags, header2,
+                                          default_options)
+    # truncation keeps the MAX_SEGMENTS smallest (q_start, q_end) segments:
+    # the primary is q_start 0, so the first 63 SA segments survive -> the
+    # scan path emits exactly the host signatures of those pairs
+    truncated = [sig.as_string() for sig in host_sigs][:MAX_SEGMENTS - 1]
+    assert [sig.as_string() for sig in scan_sigs] == truncated
