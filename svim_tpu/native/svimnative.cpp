@@ -249,8 +249,41 @@ struct BamScanCache {
   int min_mapq = -1;
   int32_t min_sv_size = -1;
   std::vector<int64_t> offsets;  // offset of each passing record's length field
+  // compacted CIGAR words produced while counting (the count walk already
+  // runs the compaction core per record to size the batch, so storing its
+  // output makes bam_fill's hot loop a memcpy instead of a re-compaction)
+  std::vector<int32_t> compact_words;  // ragged arena
+  std::vector<int64_t> compact_off;    // per record: arena offset, -1 = raw row
+  std::vector<int32_t> compact_len;
 };
 static thread_local BamScanCache g_bam_scan_cache;
+
+// Count one passing record's final op count, stashing its compacted words in
+// the cache arena (when compaction applies and shrinks the row).
+static inline int64_t count_record_ops(BamScanCache& cache, const uint8_t* r,
+                                       uint16_t n_cigar, int32_t min_sv_size) {
+  int64_t final_ops = n_cigar;
+  int64_t arena_off = -1;
+  int32_t arena_len = -1;
+  if (min_sv_size > 0 && n_cigar > 0) {
+    uint8_t l_read_name = r[8];
+    size_t base = cache.compact_words.size();
+    cache.compact_words.resize(base + n_cigar);
+    int64_t c = cigar_compact_core(r + 32 + l_read_name, n_cigar, min_sv_size,
+                                   cache.compact_words.data() + base, n_cigar);
+    if (c >= 0) {
+      final_ops = c;
+      cache.compact_words.resize(base + (size_t)c);
+      arena_off = (int64_t)base;
+      arena_len = (int32_t)c;
+    } else {
+      cache.compact_words.resize(base);
+    }
+  }
+  cache.compact_off.push_back(arena_off);
+  cache.compact_len.push_back(arena_len);
+  return final_ops;
+}
 
 // Count records passing the filter; report max cigar op count.  When
 // min_sv_size > 0 the count reflects CIGAR compaction (see
@@ -265,6 +298,9 @@ int bam_count(const uint8_t* data, int64_t size, int64_t body_offset,
   BamScanCache& cache = g_bam_scan_cache;
   cache.data = nullptr;  // invalidate until the walk completes
   cache.offsets.clear();
+  cache.compact_words.clear();
+  cache.compact_off.clear();
+  cache.compact_len.clear();
   while (off + 4 <= size) {
     int32_t block = rd_i32(data + off);
     if (off + 4 + block > size || block < 32) return -1;
@@ -275,13 +311,7 @@ int bam_count(const uint8_t* data, int64_t size, int64_t body_offset,
     if ((flag & (kFUnmap | kFSecondary)) == 0 && mapq >= min_mapq) {
       n++;
       cache.offsets.push_back(off);
-      int64_t final_ops = n_cigar;
-      if (min_sv_size > 0 && n_cigar > 0) {
-        uint8_t l_read_name = r[8];
-        int64_t c = cigar_compact_core(r + 32 + l_read_name, n_cigar,
-                                       min_sv_size, nullptr, 0);
-        if (c >= 0) final_ops = c;
-      }
+      int64_t final_ops = count_record_ops(cache, r, n_cigar, min_sv_size);
       if (final_ops > max_ops) max_ops = final_ops;
     }
     off += 4 + block;
@@ -366,6 +396,9 @@ int bam_inflate_count(const uint8_t* comp, int64_t comp_size, uint8_t* out,
   BamScanCache& cache = g_bam_scan_cache;
   cache.data = nullptr;  // invalidate until the walk completes
   cache.offsets.clear();
+  cache.compact_words.clear();
+  cache.compact_off.clear();
+  cache.compact_len.clear();
   int rc = 0;
   int64_t n = 0;
   int64_t max_ops = 1;
@@ -394,13 +427,7 @@ int bam_inflate_count(const uint8_t* comp, int64_t comp_size, uint8_t* out,
       if ((flag & (kFUnmap | kFSecondary)) == 0 && mapq >= min_mapq) {
         n++;
         cache.offsets.push_back(off);
-        int64_t final_ops = n_cigar;
-        if (min_sv_size > 0 && n_cigar > 0) {
-          uint8_t l_read_name = r[8];
-          int64_t c = cigar_compact_core(r + 32 + l_read_name, n_cigar,
-                                         min_sv_size, nullptr, 0);
-          if (c >= 0) final_ops = c;
-        }
+        int64_t final_ops = count_record_ops(cache, r, n_cigar, min_sv_size);
         if (final_ops > max_ops) max_ops = final_ops;
       }
       off += 4 + block;
@@ -432,6 +459,18 @@ int bam_fill(const uint8_t* data, int64_t size, int64_t body_offset,
              int64_t* seq_off, int32_t* seq_len,
              int64_t* sa_off, int32_t* sa_len,
              int n_threads) {
+  // compacted-words arena from the preceding count walk (same thread):
+  // rows whose compaction was already computed there just memcpy
+  const BamScanCache& cache0 = g_bam_scan_cache;
+  const bool arena_ok =
+      cache0.data == data && cache0.size == size
+      && cache0.body_offset == body_offset && cache0.min_mapq == min_mapq
+      && cache0.min_sv_size == min_sv_size
+      && cache0.compact_off.size() == cache0.offsets.size();
+  const int32_t* arena = arena_ok ? cache0.compact_words.data() : nullptr;
+  const int64_t* arena_off = arena_ok ? cache0.compact_off.data() : nullptr;
+  const int32_t* arena_len = arena_ok ? cache0.compact_len.data() : nullptr;
+
   auto fill_one = [&](int64_t off, int64_t row) {
     int32_t block = rd_i32(data + off);
     off += 4;
@@ -451,12 +490,22 @@ int bam_fill(const uint8_t* data, int64_t size, int64_t body_offset,
     p += l_read_name;
     int64_t written = -1;
     if (min_sv_size > 0 && n_cigar > 0) {
-      written = cigar_compact_core(data + p, n_cigar, min_sv_size,
-                                   cigar_words + row * k, k);
-      if (written < 0 || written > k) {
-        // raw row (or inconsistent sizing): clear partial compact writes
-        std::memset(cigar_words + row * k, 0, sizeof(int32_t) * (size_t)k);
-        written = -1;
+      if (arena_ok) {
+        int64_t aoff = arena_off[row];
+        if (aoff >= 0 && arena_len[row] <= k) {
+          std::memcpy(cigar_words + row * k, arena + aoff,
+                      sizeof(int32_t) * (size_t)arena_len[row]);
+          written = arena_len[row];
+        }
+        // aoff < 0 (raw row) falls through to the raw copy below
+      } else {
+        written = cigar_compact_core(data + p, n_cigar, min_sv_size,
+                                     cigar_words + row * k, k);
+        if (written < 0 || written > k) {
+          // raw row (or inconsistent sizing): clear partial compact writes
+          std::memset(cigar_words + row * k, 0, sizeof(int32_t) * (size_t)k);
+          written = -1;
+        }
       }
     }
     if (written < 0) {
