@@ -272,6 +272,32 @@ def main():
     if BASELINE_SAMPLE:
         host_records = host_records[:BASELINE_SAMPLE]
     baseline_reads = len(host_records)
+
+    # The baseline loop below consumes pre-materialized records, but real
+    # single-core SVIM pays BAM ingest inside its COLLECT loop (htslib BGZF
+    # inflate + pysam record decode; the array path's timing includes its own
+    # scan).  Charge the baseline a measured STRICT LOWER BOUND on that cost:
+    # the single-threaded native inflate + record walk + column decode, with
+    # no Python object materialization and libdeflate (faster than htslib's
+    # zlib).  Everything pysam does beyond this is uncharged.
+    ingest_best = 0.0
+    try:
+        from svim_tpu import native as svim_native
+        from svim_tpu.io.packing import bucket_size
+        if svim_native.get_library() is not None and not BASELINE_SAMPLE:
+            with open(bam_path, "rb") as handle:
+                compressed = handle.read()
+            ingest_best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                data, counted = svim_native.bam_scan_fused(
+                    compressed, options.min_mapq, 0, n_threads=1)
+                svim_native.bamscan_native(data, options.min_mapq, bucket_size,
+                                           0, counted=counted, n_threads=1)
+                ingest_best = min(ingest_best, time.perf_counter() - t0)
+    except Exception:
+        ingest_best = 0.0
+
     baseline_best = float("inf")
     # first pass warms one-time costs (scipy, .fai build) for BOTH paths;
     # best-of-2 keeps the baseline fair under load noise
@@ -290,7 +316,7 @@ def main():
         run_cluster_reference(host_signatures, options)
         host_cluster_time = time.perf_counter() - t0
         baseline_best = min(baseline_best, host_collect_time + host_cluster_time)
-    baseline_reads_per_s = baseline_reads / baseline_best
+    baseline_reads_per_s = baseline_reads / (baseline_best + ingest_best)
 
     # ---- array path: packed scan + device kernels (watchdogged subprocess) -----
     array = _run_array_subprocess(tmp_dir, bam_path, genome_path)

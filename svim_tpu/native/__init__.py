@@ -466,7 +466,7 @@ def cigar_compact_rows(buffer, cigar_off, n_cigar, min_sv_size: int,
 
 
 def bamscan_native(data: bytes, min_mapq: int, bucket_size_fn,
-                   min_sv_size: int = 0, counted=None):
+                   min_sv_size: int = 0, counted=None, n_threads: int = 0):
     """Scan uncompressed BAM bytes natively.  Returns the same tuple layout as
     the Python scanner core, or None when the library is unavailable.
 
@@ -531,11 +531,13 @@ def bamscan_native(data: bytes, min_mapq: int, bucket_size_fn,
     def ptr(array):
         return array.ctypes.data_as(ctypes.c_void_p)
 
+    if n_threads <= 0:
+        n_threads = min(8, os.cpu_count() or 1)
     if lib.bam_fill(data_arg, len(data), body_offset, min_mapq, min_sv_size, k,
                     ptr(cigar_words), ptr(ref_id), ptr(pos),
                     ptr(mapq), ptr(flag), ptr(name_off), ptr(name_len),
                     ptr(seq_off), ptr(seq_len), ptr(sa_off), ptr(sa_len),
-                    min(8, os.cpu_count() or 1)) != 0:
+                    n_threads) != 0:
         raise ValueError("truncated BAM stream")
     return (text, references, lengths, cigar_words, ref_id, pos,
             mapq, flag, name_off, name_len, seq_off, seq_len, sa_off, sa_len)
