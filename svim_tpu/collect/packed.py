@@ -153,27 +153,9 @@ def _signatures_from_grouped_packed(packed, group_sizes, name_table, options):
     else:
         fetched_collect = jax.device_get(result)
         fetched_classify = None
-    rows, pos_ref, pos_read, lengths, is_ins = _consume_collect(
-        packed, rerun, max_events, fetched_collect)
-
-    for row, p_ref, p_read, length, ins in zip(rows.tolist(), pos_ref.tolist(),
-                                               pos_read.tolist(), lengths.tolist(),
-                                               is_ins.tolist()):
-        contig = getrname(int(packed.ref_id[row]))
-        start = int(packed.ref_start[row]) + p_ref
-        name = packed.names[row]
-        sigs = per_row_sigs.setdefault(row, [])
-        if ins:
-            sequence = _slice_sequence(packed.sequences, row, p_read, p_read + length)
-            sigs.append(SignatureInsertion(contig, start, start + length,
-                                           "cigar", name, sequence))
-        else:
-            sigs.append(SignatureDeletion(contig, start, start + length,
-                                          "cigar", name))
-            if options.all_bnds:
-                per_row_twins.setdefault(row, []).append(SignatureTranslocation(
-                    contig, start, "fwd", contig, start + length, "fwd",
-                    "cigar", name))
+    events = _consume_collect(packed, rerun, max_events, fetched_collect)
+    _emit_indel_events(packed, events, getrname, options,
+                       per_row_sigs, per_row_twins)
 
     if fetched_classify is not None:
         # attach split-read signatures AFTER the group's indel signatures:
@@ -357,6 +339,66 @@ def _slice_sequence(sequences, row, start, end):
     return sequence[start:end] if sequence is not None else ""
 
 
+def _slice_sequences_batch(sequences, rows, starts, ends):
+    """Many windows at once; vectorized for lazy containers."""
+    batch = getattr(sequences, "slice_batch", None)
+    if batch is not None:
+        return batch(rows, starts, ends)
+    return [_slice_sequence(sequences, int(row), int(start), int(end))
+            for row, start, end in zip(rows, starts, ends)]
+
+
+def _take_names(names, rows):
+    """Many read names at once; vectorized for lazy containers."""
+    take = getattr(names, "take", None)
+    if take is not None:
+        return take(rows)
+    return [names[int(row)] for row in rows]
+
+
+def _emit_indel_events(packed, events, getrname, options,
+                       per_row_sigs, per_row_twins):
+    """Materialize CIGAR indel events (the dense COLLECT output) into
+    Signature objects, batching every per-event decode: insertion windows and
+    read names come from single vectorized passes instead of per-event numpy
+    calls.  Emission order is event order, identical to the host scan."""
+    rows, pos_ref, pos_read, lengths, is_ins = events
+    rows = np.asarray(rows)
+    if rows.size == 0:
+        return
+    pos_ref = np.asarray(pos_ref, dtype=np.int64)
+    lengths_arr = np.asarray(lengths, dtype=np.int64)
+    ins_mask = np.asarray(is_ins, dtype=bool)
+    seqs = iter(())
+    if ins_mask.any():
+        ins_read_pos = np.asarray(pos_read, dtype=np.int64)[ins_mask]
+        seqs = iter(_slice_sequences_batch(
+            packed.sequences, rows[ins_mask], ins_read_pos,
+            ins_read_pos + lengths_arr[ins_mask]))
+    names = _take_names(packed.names, rows)
+    contig_of = {}
+    row_tids = np.asarray(packed.ref_id)[rows].tolist()
+    event_starts = (np.asarray(packed.ref_start, dtype=np.int64)[rows]
+                    + pos_ref).tolist()
+    for row, tid, start, length, ins, name in zip(
+            rows.tolist(), row_tids, event_starts, lengths_arr.tolist(),
+            ins_mask.tolist(), names):
+        contig = contig_of.get(tid)
+        if contig is None:
+            contig = contig_of.setdefault(tid, getrname(tid))
+        sigs = per_row_sigs.setdefault(row, [])
+        if ins:
+            sigs.append(SignatureInsertion(contig, start, start + length,
+                                           "cigar", name, next(seqs)))
+        else:
+            sigs.append(SignatureDeletion(contig, start, start + length,
+                                          "cigar", name))
+            if options.all_bnds:
+                per_row_twins.setdefault(row, []).append(SignatureTranslocation(
+                    contig, start, "fwd", contig, start + length, "fwd",
+                    "cigar", name))
+
+
 def signatures_from_packed(packed, sa_tags, name_table, options,
                            dispatched=None):
     """Shared core: device kernels over one packed batch.
@@ -425,28 +467,10 @@ def signatures_from_packed(packed, sa_tags, name_table, options,
     else:
         fetched_collect = jax.device_get(result)
         fetched_classify = None
-    rows, pos_ref, pos_read, lengths, is_ins = _consume_collect(
-        packed, rerun, max_events, fetched_collect)
-
-    # host indel materialization
-    for row, p_ref, p_read, length, ins in zip(rows.tolist(), pos_ref.tolist(),
-                                               pos_read.tolist(), lengths.tolist(),
-                                               is_ins.tolist()):
-        contig = getrname(int(packed.ref_id[row]))
-        start = int(packed.ref_start[row]) + p_ref
-        name = packed.names[row]
-        sigs = per_row_sigs.setdefault(row, [])
-        if ins:
-            sequence = _slice_sequence(packed.sequences, row, p_read, p_read + length)
-            sigs.append(SignatureInsertion(contig, start, start + length,
-                                           "cigar", name, sequence))
-        else:
-            sigs.append(SignatureDeletion(contig, start, start + length,
-                                          "cigar", name))
-            if options.all_bnds:
-                per_row_twins.setdefault(row, []).append(SignatureTranslocation(
-                    contig, start, "fwd", contig, start + length, "fwd",
-                    "cigar", name))
+    events = _consume_collect(packed, rerun, max_events, fetched_collect)
+    # host indel materialization (batched decodes)
+    _emit_indel_events(packed, events, getrname, options,
+                       per_row_sigs, per_row_twins)
 
     for row in fallback_rows:
         from svim_tpu.collect.collect import retrieve_other_alignments

@@ -148,3 +148,31 @@ def test_fused_inflate_count_matches_two_pass(min_sv_size):
                               np.asarray(packed_b.cigar_words))
         assert all(packed_a.names[row] == packed_b.names[row] for row in range(n))
         assert all(sa_a[row] == sa_b[row] for row in range(n))
+
+
+def test_batched_decoders_match_scalar():
+    """slice_batch / take must produce exactly the per-call slice() /
+    __getitem__ values, including clamped and empty windows."""
+    rng = random.Random(7)
+    with tempfile.TemporaryDirectory() as tmp_dir:
+        path = _make_bam(tmp_dir)
+        _header, packed, _sa = bamscan.scan_bam(path, 0, 0)
+        sequences = packed.sequences
+        names = packed.names
+        assert hasattr(sequences, "slice_batch") and hasattr(names, "take")
+        n = packed.n
+        rows, starts, ends = [], [], []
+        for _ in range(500):
+            row = rng.randrange(n)
+            length = len(sequences[row] or "")
+            start = rng.randint(-5, max(0, length))
+            rows.append(row)
+            starts.append(start)
+            ends.append(start + rng.randint(0, 80))
+        batch = sequences.slice_batch(rows, starts, ends)
+        scalar = [sequences.slice(row, start, end)
+                  for row, start, end in zip(rows, starts, ends)]
+        assert batch == scalar
+        assert names.take(rows) == [names[row] for row in rows]
+        assert sequences.slice_batch([], [], []) == []
+        assert names.take([]) == []
