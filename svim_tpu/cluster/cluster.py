@@ -126,10 +126,12 @@ def dispatch_clusters_from_partitions(partitions, reference, options):
     return work
 
 
-def finish_clusters_from_partitions(work, reference, options):
+def finish_clusters_from_partitions(work, reference, options, fetched=None):
     """Phase 2: fetch the device results and run dedup/linkage host paths for
     everything the device could not arbitrate (reference:
-    SVIM_clustering.py:122-180)."""
+    SVIM_clustering.py:122-180).  `fetched` optionally carries output trees
+    already pulled from the device (see cluster_sv_signatures: all six types'
+    results come back in ONE fetch round trip)."""
     partitions = work.partitions
     samples = work.samples
     ed_cache = work.ed_cache
@@ -140,7 +142,7 @@ def finish_clusters_from_partitions(work, reference, options):
     device_results = {}
     if work.pending is not None:
         from svim_tpu.cluster.device_cluster import consume_partitions_device
-        per_position = consume_partitions_device(work.pending)
+        per_position = consume_partitions_device(work.pending, fetched=fetched)
         device_results = {index: per_position[position]
                           for position, (index, _) in enumerate(work.eligible)}
 
@@ -480,10 +482,24 @@ def cluster_sv_signatures(sv_signatures, options):
                                          options.partition_max_distance)
             staged[key] = (partitions, dispatch_clusters_from_partitions(
                 partitions, reference, options))
+        # ONE fetch for every type's in-flight kernels: each device_get pays
+        # a full RPC round trip over the tunneled TPU, so the six types'
+        # per-bucket fetches collapse into a single round trip here
+        from svim_tpu.cluster.device_cluster import pending_device_outputs
+        outputs_by_key = {key: pending_device_outputs(work.pending)
+                          for key, (_parts, work) in staged.items()
+                          if work.pending is not None}
+        if any(outputs_by_key.values()):
+            import jax
+
+            fetched_by_key = jax.device_get(outputs_by_key)
+        else:
+            fetched_by_key = outputs_by_key
         consolidated = {}
         for key in ("DEL", "INS", "INV", "DUP_TAN", "DUP_INT", "BND"):
             partitions, work = staged[key]
-            clusters = finish_clusters_from_partitions(work, reference, options)
+            clusters = finish_clusters_from_partitions(
+                work, reference, options, fetched=fetched_by_key.get(key))
             consolidated[key] = _consolidate_typed(clusters, partitions,
                                                    labels[key])
     return (consolidated["DEL"], consolidated["INS"], consolidated["INV"],

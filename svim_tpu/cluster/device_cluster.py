@@ -181,17 +181,21 @@ def _dispatch_fused(samples, element_type, options):
     return pending
 
 
-def _consume_fused(pending):
+def _consume_fused(pending, fetched=None):
     results = dict(pending.ready)
     samples = pending.samples
     threshold = pending.threshold
-    for indices, outputs in pending.fused:
-        import jax
+    for entry, (indices, outputs) in enumerate(pending.fused):
+        if fetched is not None:
+            fetched_outputs = fetched[entry]
+        else:
+            import jax
 
-        # one batched fetch: per-array np.asarray pays a full RPC round trip
-        # each over the tunneled TPU (measured ~10x slower)
+            # one batched fetch: per-array np.asarray pays a full RPC round
+            # trip each over the tunneled TPU (measured ~10x slower)
+            fetched_outputs = jax.device_get(outputs)
         (merges_lo, merges_hi, heights, min_gap, dropped, has_wall,
-         dedup_ambiguous) = jax.device_get(outputs)
+         dedup_ambiguous) = fetched_outputs
         for row, index in enumerate(indices):
             sample = samples[index]
             n = len(sample)
@@ -307,13 +311,17 @@ def _dispatch_matrix(samples, element_type, reference, options, ed_cache,
     return pending
 
 
-def _consume_matrix(pending, wall_same_read=True):
+def _consume_matrix(pending, wall_same_read=True, fetched=None):
     results = dict(pending.ready)
     threshold = pending.threshold
-    for positions, prepared, outputs in pending.matrix:
-        import jax
+    for entry, (positions, prepared, outputs) in enumerate(pending.matrix):
+        if fetched is not None:
+            fetched_outputs = fetched[entry]
+        else:
+            import jax
 
-        merges_lo, merges_hi, heights, min_gap = jax.device_get(outputs)
+            fetched_outputs = jax.device_get(outputs)
+        merges_lo, merges_hi, heights, min_gap = fetched_outputs
         for row, position in enumerate(positions):
             index, survivors, matrix, reads, dropped_count = prepared[position]
             if float(min_gap[row]) < TIE_EPS:
@@ -351,15 +359,29 @@ def dispatch_partitions_device(samples: List[list], element_type: str,
     raise ValueError("unknown signature type {0}".format(element_type))
 
 
-def consume_partitions_device(pending: PendingDeviceClusters):
+def pending_device_outputs(pending: PendingDeviceClusters):
+    """The in-flight device output trees of this pending batch, in entry
+    order — lets a driver fetch MANY types' results in one jax.device_get
+    (each device_get pays a full RPC round trip over the tunneled TPU, so
+    the six types' per-bucket fetches batch into a single round trip)."""
+    if pending.fused:
+        return [outputs for _indices, outputs in pending.fused]
+    return [outputs for _positions, _prepared, outputs in pending.matrix]
+
+
+def consume_partitions_device(pending: PendingDeviceClusters, fetched=None):
     """Fetch dispatched results and reconstruct clusters.
+
+    `fetched` optionally supplies already-fetched output trees (matching
+    pending_device_outputs order) so a driver can batch the fetch across
+    types; when None each entry is fetched here.
 
     Returns {index: DeviceClusterResult}; a result with clusters=None means
     float32 could not safely arbitrate that partition and the caller must
     re-run it through the exact host path."""
     if pending.fused:
-        return _consume_fused(pending)
-    return _consume_matrix(pending)
+        return _consume_fused(pending, fetched=fetched)
+    return _consume_matrix(pending, fetched=fetched)
 
 
 def cluster_partitions_device(samples: List[list], element_type: str,
