@@ -219,24 +219,25 @@ def run_pipeline(options):
 
     if not options.skip_genotyping:
         logging.info("****************** STEP 4: GENOTYPE ******************")
-        from svim_tpu.genotype import genotype_packed
+        from svim_tpu.genotype import genotype_packed_multi
         from svim_tpu.io.packed_fetch import PackedAlignmentIndex
 
-        def run_genotyping(candidates, type_name, label):
-            logging.info("Genotyping {0}..".format(label))
-            if isinstance(aln_file, PackedAlignmentIndex):
-                # vectorized interval join over the packed table
-                genotype_packed(candidates, aln_file.packed, aln_file.header,
-                                type_name, options)
-            else:
-                genotype(candidates, aln_file, type_name, options)
-
+        genotype_groups = (
+            (deletion_candidates, "DEL", "deletions"),
+            (inversion_candidates, "INV", "inversions"),
+            (novel_insertion_candidates, "INS", "novel insertions"),
+            (int_duplication_candidates, "DUP_INT", "interspersed duplications"),
+        )
         with timer.stage("genotype"):
-            run_genotyping(deletion_candidates, "DEL", "deletions")
-            run_genotyping(inversion_candidates, "INV", "inversions")
-            run_genotyping(novel_insertion_candidates, "INS", "novel insertions")
-            run_genotyping(int_duplication_candidates, "DUP_INT",
-                           "interspersed duplications")
+            if isinstance(aln_file, PackedAlignmentIndex):
+                # vectorized interval join over the packed table: all four
+                # types genotype in ONE device kernel invocation
+                genotype_packed_multi(genotype_groups, aln_file.packed,
+                                      aln_file.header, options)
+            else:
+                for candidates, type_name, label in genotype_groups:
+                    logging.info("Genotyping {0}..".format(label))
+                    genotype(candidates, aln_file, type_name, options)
 
     logging.info("Write SV candidates..")
     logging.info("Final deletion candidates: {0}".format(len(deletion_candidates)))

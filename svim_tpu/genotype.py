@@ -157,19 +157,18 @@ def _ref_support_host(per_tid, tid, start, end, type, support_ids,
     return len(np.unique(c_ids[supports]))
 
 
-def genotype_packed(candidates, table, header, type, options):
-    """Vectorized genotyping over a packed per-record table.
+def _prepare_genotype_jobs(candidates, table, header, type, options):
+    """First half of genotype_packed: per-candidate locus/support extraction.
 
-    Default path: the batched on-device interval join
-    (svim_tpu.ops.genotype_kernel) — all-integer arithmetic, bit-identical
-    to the reference loop; candidates the kernel cannot serve (very wide
-    table windows, giant contigs) and --device_backend host fall back to the
-    numpy join.  `table` needs ref_id/ref_start/ref_end/mapq columns and a
-    names list — a PackedAlignments batch or an io.bamstream.GenotypeTable."""
+    Returns (pending, jobs): pending entries are
+    (candidate, alt_support, type, tid, start, end, support_ids, length) and
+    jobs are the matching device-kernel inputs."""
     id_of_name, per_tid = _genotype_index(table, options.min_mapq)
+    type_class = 0 if type in ("DEL", "INV") else 1
 
     num_candidates = len(candidates)
-    pending = []   # (candidate, alt_support, tid, start, end, support_ids, length)
+    pending = []
+    jobs = []
     for nr, candidate in enumerate(candidates):
         if (nr + 1) % 10000 == 0:
             logging.info("Processed {0} of {1} candidates".format(nr + 1, num_candidates))
@@ -187,24 +186,60 @@ def genotype_packed(candidates, table, header, type, options):
                        if name in id_of_name]
         contig_length = (header.lengths[tid] if per_tid.get(tid) is not None
                          else None)
-        pending.append((candidate, alt_support, tid, start, end, support_ids,
-                        contig_length))
+        pending.append((candidate, alt_support, type, tid, start, end,
+                        support_ids, contig_length))
+        jobs.append((tid, start, end, type_class, support_ids, contig_length))
+    return pending, jobs
 
-    counts = [None] * len(pending)
-    if pending and getattr(options, "device_backend", "auto") != "host":
-        from svim_tpu.ops.genotype_kernel import genotype_ref_support_device
-        type_class = 0 if type in ("DEL", "INV") else 1
-        jobs = [(tid, start, end, type_class, support_ids, contig_length)
-                for (_c, _a, tid, start, end, support_ids, contig_length)
-                in pending]
-        counts = genotype_ref_support_device(jobs, per_tid, options)
 
-    for (candidate, alt_support, tid, start, end, support_ids,
+def _finish_genotype_jobs(pending, counts, table, options):
+    """Second half: assign genotypes, running the numpy join for entries the
+    kernel could not serve."""
+    _id_of_name, per_tid = _genotype_index(table, options.min_mapq)
+    for (candidate, alt_support, type, tid, start, end, support_ids,
          contig_length), ref_support in zip(pending, counts):
         if ref_support is None:
             ref_support = _ref_support_host(per_tid, tid, start, end, type,
                                             support_ids, contig_length)
         _assign_genotype(candidate, alt_support, ref_support, options)
+
+
+def genotype_packed(candidates, table, header, type, options):
+    """Vectorized genotyping over a packed per-record table.
+
+    Default path: the batched on-device interval join
+    (svim_tpu.ops.genotype_kernel) — all-integer arithmetic, bit-identical
+    to the reference loop; candidates the kernel cannot serve (very wide
+    table windows, giant contigs) and --device_backend host fall back to the
+    numpy join.  `table` needs ref_id/ref_start/ref_end/mapq columns and a
+    names list — a PackedAlignments batch or an io.bamstream.GenotypeTable."""
+    genotype_packed_multi([(candidates, type, None)], table, header, options)
+
+
+def genotype_packed_multi(groups, table, header, options):
+    """Genotype several candidate groups with ONE device kernel invocation.
+
+    groups is [(candidates, type, label_or_None)].  The reference genotypes
+    the four types in separate loops (svim/svim:161-170); batching them keeps
+    the semantics (jobs carry their own type_class) while paying the device
+    transfer + fetch round trips once instead of four times — and one shape
+    instead of four jit variants."""
+    _id_of_name, per_tid = _genotype_index(table, options.min_mapq)
+    all_pending = []
+    all_jobs = []
+    for candidates, type, label in groups:
+        if label is not None:
+            logging.info("Genotyping {0}..".format(label))
+        pending, jobs = _prepare_genotype_jobs(candidates, table, header,
+                                               type, options)
+        all_pending.extend(pending)
+        all_jobs.extend(jobs)
+
+    counts = [None] * len(all_pending)
+    if all_pending and getattr(options, "device_backend", "auto") != "host":
+        from svim_tpu.ops.genotype_kernel import genotype_ref_support_device
+        counts = genotype_ref_support_device(all_jobs, per_tid, options)
+    _finish_genotype_jobs(all_pending, counts, table, options)
 
 
 def genotype(candidates, bam, type, options):
