@@ -122,3 +122,36 @@ def test_genotype_packed_host_backend_matches_device(tmp_path, default_options):
         assert device_candidate.genotype == host_candidate.genotype
         assert device_candidate.ref_reads == host_candidate.ref_reads
         assert device_candidate.alt_reads == host_candidate.alt_reads
+
+
+def test_genotype_packed_multi_single_call_matches_per_type(tmp_path,
+                                                            default_options):
+    """One genotype_packed_multi call over MIXED types (DEL + INS jobs with
+    different type_class interleaved in one kernel batch) must match the
+    separate per-type calls."""
+    import copy
+
+    from svim_tpu.genotype import genotype_packed_multi
+
+    bam_path, del_candidates, ins_candidate = _make_inputs(tmp_path)
+    separate_dels = copy.deepcopy(del_candidates)
+    separate_ins = copy.deepcopy(ins_candidate)
+
+    header, packed, sa_tags = scan_bam(bam_path, default_options.min_mapq)
+    from svim_tpu.collect.packed import _run_collect_scan
+    _run_collect_scan(packed, default_options)
+
+    genotype_packed(separate_dels, packed, header, "DEL", default_options)
+    genotype_packed([separate_ins], packed, header, "INS", default_options)
+
+    genotype_packed_multi(
+        [(del_candidates, "DEL", "deletions"),
+         ([ins_candidate], "INS", "novel insertions")],
+        packed, header, default_options)
+
+    for separate, multi in zip(separate_dels + [separate_ins],
+                               del_candidates + [ins_candidate]):
+        assert multi.genotype == separate.genotype
+        assert multi.ref_reads == separate.ref_reads
+        assert multi.alt_reads == separate.alt_reads
+        assert multi.support_fraction == separate.support_fraction
