@@ -410,6 +410,19 @@ def signatures_from_packed(packed, sa_tags, name_table, options,
                 else name_table.get_reference_name)
     get_tid = name_table.get_tid
 
+    if packed.n == 0:
+        # nothing passed the COLLECT filter: skip the device pass entirely
+        # (zero-row batches cannot compile) but leave usable empty geometry
+        # columns for downstream consumers (genotyping table index)
+        if packed.ref_end is None:
+            empty = np.zeros(0, dtype=np.int32)
+            packed.ref_end = empty
+            packed.read_len = empty
+            packed.qa_start = empty
+            packed.qa_end = empty
+            packed.has_hard_clip = np.zeros(0, dtype=bool)
+        return [], []
+
     per_row_sigs: Dict[int, List] = {}
     per_row_twins: Dict[int, List] = {}
 

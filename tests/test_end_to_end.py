@@ -110,3 +110,24 @@ def test_full_pipeline_types_filter(synthetic_dataset):
     records = _read_vcf_records(workdir)
     assert len(records) == 1
     assert "SVTYPE=DEL" in records[0][7]
+
+
+def test_full_pipeline_empty_input(tmp_path):
+    """A BAM with zero passing records must run the whole pipeline cleanly:
+    header-only variants.vcf, all artifacts, exit 0 (no device dispatch of a
+    zero-row batch)."""
+    from svim_tpu.io import bam as bamio
+    from svim_tpu.io.sam import AlignmentFile
+
+    sam_path = tmp_path / "empty.sam"
+    sam_path.write_text("@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:100000\n")
+    genome_path = tmp_path / "g.fa"
+    genome_path.write_text(">chr1\n" + "ACGT" * 2500 + "\n")
+    bam_path = tmp_path / "empty.bam"
+    af = AlignmentFile(str(sam_path))
+    bamio.write_bam(str(bam_path), af.header, [])
+
+    workdir = tmp_path / "wd_empty"
+    assert main(["alignment", str(workdir), str(bam_path), str(genome_path)]) == 0
+    assert _read_vcf_records(workdir) == []
+    assert (workdir / "variants.vcf").read_text().startswith("##fileformat=VCF")
