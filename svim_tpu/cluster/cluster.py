@@ -82,11 +82,13 @@ class _ClusterWork:
         self.eligible = []
 
 
-def dispatch_clusters_from_partitions(partitions, reference, options):
-    """Phase 1: subsample, precompute INS edit distances, and LAUNCH the
-    batched device agglomerations without waiting (jax dispatch is async, so
-    several types' kernels overlap — the per-call latency matters on the
-    tunneled TPU)."""
+def dispatch_clusters_from_partitions(partitions, reference, options,
+                                      batcher=None):
+    """Phase 1: subsample, precompute INS edit distances, and REGISTER the
+    batched device agglomerations (on `batcher` when given — the driver then
+    dispatches one kernel per pad bucket for ALL types and fetches every
+    result in one round trip; a private batcher dispatches immediately at
+    consume time otherwise)."""
     work = _ClusterWork()
     work.partitions = partitions
     seed(RANDOM_SEED)
@@ -122,7 +124,8 @@ def dispatch_clusters_from_partitions(partitions, reference, options):
             if work.eligible:
                 work.pending = dispatch_partitions_device(
                     [sample_list for _, sample_list in work.eligible],
-                    element_type, reference, options, ed_cache=work.ed_cache)
+                    element_type, reference, options, ed_cache=work.ed_cache,
+                    batcher=batcher)
     return work
 
 
@@ -476,30 +479,31 @@ def cluster_sv_signatures(sv_signatures, options):
     # types' kernels are already computing)
     dispatch_order = ("DEL", "INV", "DUP_TAN", "BND", "DUP_INT", "INS")
     with FastaFile(options.genome) as reference:
+        from svim_tpu.cluster.device_cluster import DeviceBatcher
+
+        # every type registers its device work on ONE batcher: flush()
+        # dispatches one kernel per (route, pad bucket) for the whole stage
+        # and one device_get fetches every result — each kernel call and
+        # each fetch pays a full RPC round trip over the tunneled TPU
+        batcher = DeviceBatcher(options)
         staged = {}
         for key in dispatch_order:
             partitions = form_partitions(by_type[key],
                                          options.partition_max_distance)
             staged[key] = (partitions, dispatch_clusters_from_partitions(
-                partitions, reference, options))
-        # ONE fetch for every type's in-flight kernels: each device_get pays
-        # a full RPC round trip over the tunneled TPU, so the six types'
-        # per-bucket fetches collapse into a single round trip here
-        from svim_tpu.cluster.device_cluster import pending_device_outputs
-        outputs_by_key = {key: pending_device_outputs(work.pending)
-                          for key, (_parts, work) in staged.items()
-                          if work.pending is not None}
-        if any(outputs_by_key.values()):
+                partitions, reference, options, batcher=batcher))
+        outputs = batcher.device_outputs()
+        if outputs:
             import jax
 
-            fetched_by_key = jax.device_get(outputs_by_key)
+            fetched = jax.device_get(outputs)
         else:
-            fetched_by_key = outputs_by_key
+            fetched = outputs
         consolidated = {}
         for key in ("DEL", "INS", "INV", "DUP_TAN", "DUP_INT", "BND"):
             partitions, work = staged[key]
             clusters = finish_clusters_from_partitions(
-                work, reference, options, fetched=fetched_by_key.get(key))
+                work, reference, options, fetched=fetched)
             consolidated[key] = _consolidate_typed(clusters, partitions,
                                                    labels[key])
     return (consolidated["DEL"], consolidated["INS"], consolidated["INV"],

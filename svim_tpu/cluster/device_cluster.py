@@ -123,99 +123,157 @@ class DeviceClusterResult:
         self.dropped_count = dropped_count
 
 
+class DeviceBatcher:
+    """Cross-type accumulator for the CLUSTER stage's device work.
+
+    Every type's eligible partitions register here (fused route: coordinate
+    rows with a per-row wall flag; matrix route: prebuilt float64 matrices);
+    flush() dispatches ONE kernel invocation per (route, pad bucket) for the
+    WHOLE stage, and device_outputs() exposes the output trees so a driver
+    can pull every result in a single jax.device_get.  Each kernel call
+    costs transfer + dispatch round trips over the tunneled TPU and its own
+    jit shape variant, so collapsing per-type calls into shared batches is
+    the difference between ~10 round trips and ~2."""
+
+    __slots__ = ("options", "fused_rows", "matrix_rows", "outputs")
+
+    def __init__(self, options):
+        self.options = options
+        self.fused_rows = {}    # pad -> [(starts, ends, reads, valid, wall)]
+        self.matrix_rows = {}   # pad -> [float64 matrix]
+        self.outputs = None
+
+    def add_fused(self, sample, wall_same_read: bool):
+        n = len(sample)
+        pad = _bucket(n)
+        starts = np.zeros(pad, dtype=np.int32)
+        ends = np.zeros(pad, dtype=np.int32)
+        # distinct negative ids per padded slot would still compare equal
+        # across rows of padding; keep padding invalid instead
+        reads = np.full(pad, -1, dtype=np.int32)
+        valid = np.zeros(pad, dtype=bool)
+        starts[:n] = [e.get_source()[1] for e in sample]
+        ends[:n] = [e.get_source()[2] for e in sample]
+        reads[:n] = accel.read_index_array(sample)
+        valid[:n] = True
+        rows = self.fused_rows.setdefault(pad, [])
+        rows.append((starts, ends, reads, valid, wall_same_read))
+        return ("fused", pad, len(rows) - 1)
+
+    def add_matrix(self, matrix):
+        pad = _bucket(matrix.shape[0])
+        rows = self.matrix_rows.setdefault(pad, [])
+        rows.append(matrix)
+        return ("matrix", pad, len(rows) - 1)
+
+    def flush(self):
+        """Dispatch every accumulated bucket (async; results not fetched)."""
+        if self.outputs is not None:
+            return
+        options = self.options
+        num_shards = getattr(options, "num_shards", 1)
+        outputs = {}
+        for pad, rows in sorted(self.fused_rows.items()):
+            batch = _round_up_pow2(len(rows))
+            starts = np.zeros((batch, pad), dtype=np.int32)
+            ends = np.zeros((batch, pad), dtype=np.int32)
+            reads = np.full((batch, pad), -1, dtype=np.int32)
+            valid = np.zeros((batch, pad), dtype=bool)
+            wall = np.zeros(batch, dtype=bool)
+            for row, (row_starts, row_ends, row_reads, row_valid,
+                      row_wall) in enumerate(rows):
+                starts[row] = row_starts
+                ends[row] = row_ends
+                reads[row] = row_reads
+                valid[row] = row_valid
+                wall[row] = row_wall
+            arrays = (starts, ends, reads, valid, wall)
+            if num_shards > 1:
+                # lay the partition batch out over the data mesh: GSPMD
+                # splits the vmapped agglomeration across devices
+                from svim_tpu.parallel.mesh import shard_batch
+                arrays = shard_batch(num_shards, *arrays)
+            starts, ends, reads, valid, wall = arrays
+            outputs[("fused", pad)] = span_position_agglomerate_batched(
+                starts, ends, reads, valid,
+                np.float32(options.position_distance_normalizer),
+                np.float32(options.cluster_max_distance), wall)
+        for pad, matrices_f64 in sorted(self.matrix_rows.items()):
+            batch = _round_up_pow2(len(matrices_f64))
+            matrices = np.full((batch, pad, pad), 3.0e38, dtype=np.float32)
+            valid = np.zeros((batch, pad), dtype=bool)
+            for row, matrix in enumerate(matrices_f64):
+                n = matrix.shape[0]
+                matrices[row, :n, :n] = matrix
+                valid[row, :n] = True
+            arrays = (matrices, valid)
+            if num_shards > 1:
+                from svim_tpu.parallel.mesh import shard_batch
+                arrays = shard_batch(num_shards, *arrays)
+            outputs[("matrix", pad)] = agglomerate_batched(*arrays)
+        self.outputs = outputs
+
+    def device_outputs(self):
+        """{bucket key: output tree} — fetch with one jax.device_get."""
+        self.flush()
+        return self.outputs
+
+
 class PendingDeviceClusters:
-    """In-flight device agglomerations for one signature type.
+    """Registered device agglomerations for one signature type.
 
-    Dispatch and consumption are split so the driver can launch every type's
-    kernels before blocking on any result — jax dispatch is asynchronous, so
-    the per-call latency (tunnel RPC on this environment's TPU) overlaps
-    across the six types instead of serializing."""
+    Registration and consumption are split so a driver can stage every
+    type's work on one DeviceBatcher, flush once, fetch once, then consume
+    each type from the shared fetched results."""
 
-    __slots__ = ("samples", "threshold", "fused", "matrix", "ready")
+    __slots__ = ("samples", "threshold", "batcher", "fused", "matrix", "ready")
 
-    def __init__(self, samples, threshold):
+    def __init__(self, samples, threshold, batcher):
         self.samples = samples
         self.threshold = threshold
-        self.fused = []    # (indices, device outputs) per bucket
-        self.matrix = []   # (positions, prepared, device outputs) per bucket
+        self.batcher = batcher
+        self.fused = []    # (sample index, batcher handle)
+        self.matrix = []   # (sample index, survivors, matrix, reads, dropped, handle)
         self.ready = {}    # index -> DeviceClusterResult decided at dispatch
 
 
-def _dispatch_fused(samples, element_type, options):
+def _dispatch_fused(samples, element_type, options, batcher):
     """DEL / INV / DUP_TAN: coordinates -> device matrix+dedup+agglomerate
-    (kernels dispatched, results not yet fetched)."""
+    (rows registered on the batcher; dispatch happens at flush)."""
     wall_same_read = element_type != "INV"
-    threshold = float(options.cluster_max_distance)
-    pending = PendingDeviceClusters(samples, threshold)
-    by_bucket = {}
+    pending = PendingDeviceClusters(samples, float(options.cluster_max_distance),
+                                    batcher)
     for index, sample in enumerate(samples):
-        by_bucket.setdefault(_bucket(len(sample)), []).append(index)
-
-    for pad, indices in sorted(by_bucket.items()):
-        batch = _round_up_pow2(len(indices))
-        starts = np.zeros((batch, pad), dtype=np.int32)
-        ends = np.zeros((batch, pad), dtype=np.int32)
-        reads = np.full((batch, pad), -1, dtype=np.int32)
-        valid = np.zeros((batch, pad), dtype=bool)
-        for row, index in enumerate(indices):
-            sample = samples[index]
-            n = len(sample)
-            starts[row, :n] = [e.get_source()[1] for e in sample]
-            ends[row, :n] = [e.get_source()[2] for e in sample]
-            # distinct negative ids per padded slot would still compare equal
-            # across rows of padding; keep padding invalid instead
-            reads[row, :n] = accel.read_index_array(sample)
-            valid[row, :n] = True
-        num_shards = getattr(options, "num_shards", 1)
-        if num_shards > 1:
-            # lay the partition batch out over the data mesh: GSPMD splits
-            # the vmapped agglomeration across devices
-            from svim_tpu.parallel.mesh import shard_batch
-            starts, ends, reads, valid = shard_batch(
-                num_shards, starts, ends, reads, valid)
-        outputs = span_position_agglomerate_batched(
-            starts, ends, reads, valid,
-            np.float32(options.position_distance_normalizer),
-            np.float32(threshold), wall_same_read)
-        pending.fused.append((indices, outputs))
+        pending.fused.append((index, batcher.add_fused(sample, wall_same_read)))
     return pending
 
 
-def _consume_fused(pending, fetched=None):
+def _consume_fused(pending, fetched):
     results = dict(pending.ready)
     samples = pending.samples
     threshold = pending.threshold
-    for entry, (indices, outputs) in enumerate(pending.fused):
-        if fetched is not None:
-            fetched_outputs = fetched[entry]
-        else:
-            import jax
-
-            # one batched fetch: per-array np.asarray pays a full RPC round
-            # trip each over the tunneled TPU (measured ~10x slower)
-            fetched_outputs = jax.device_get(outputs)
+    for index, (_route, pad, row) in pending.fused:
         (merges_lo, merges_hi, heights, min_gap, dropped, has_wall,
-         dedup_ambiguous) = fetched_outputs
-        for row, index in enumerate(indices):
-            sample = samples[index]
-            n = len(sample)
-            if bool(has_wall[row]) or bool(dedup_ambiguous[row]) \
-                    or float(min_gap[row]) < TIE_EPS:
-                results[index] = DeviceClusterResult(None, 0)
-                continue
-            drop_mask = dropped[row, :n]
-            survivors = [sample[i] for i in range(n) if not drop_mask[i]]
-            # kernel merges reference slot indices; scipy ids need survivor
-            # ranks (dropped slots leave gaps in the fused route)
-            slot_rank = np.cumsum(~dropped[row]) - 1
-            labels = labels_from_merges(merges_lo[row], merges_hi[row],
-                                        heights[row], len(survivors), threshold,
-                                        slot_rank=slot_rank)
-            if labels is None:
-                results[index] = DeviceClusterResult(None, 0)
-                continue
-            results[index] = DeviceClusterResult(
-                _group_survivors(survivors, labels), int(drop_mask.sum()))
+         dedup_ambiguous) = fetched[("fused", pad)]
+        sample = samples[index]
+        n = len(sample)
+        if bool(has_wall[row]) or bool(dedup_ambiguous[row]) \
+                or float(min_gap[row]) < TIE_EPS:
+            results[index] = DeviceClusterResult(None, 0)
+            continue
+        drop_mask = dropped[row, :n]
+        survivors = [sample[i] for i in range(n) if not drop_mask[i]]
+        # kernel merges reference slot indices; scipy ids need survivor
+        # ranks (dropped slots leave gaps in the fused route)
+        slot_rank = np.cumsum(~dropped[row]) - 1
+        labels = labels_from_merges(merges_lo[row], merges_hi[row],
+                                    heights[row], len(survivors), threshold,
+                                    slot_rank=slot_rank)
+        if labels is None:
+            results[index] = DeviceClusterResult(None, 0)
+            continue
+        results[index] = DeviceClusterResult(
+            _group_survivors(survivors, labels), int(drop_mask.sum()))
     return results
 
 
@@ -233,17 +291,15 @@ def _host_linkage_clusters(matrix, reads, survivors, threshold, wall_same_read):
 
 
 def _dispatch_matrix(samples, element_type, reference, options, ed_cache,
-                     dedup_same_read=True):
+                     batcher, dedup_same_read=True):
     """INS / DUP_INT / BND (and the candidate round): host float64 matrix +
-    exact dedup, device agglomeration (kernels dispatched, not fetched).
+    exact dedup, device agglomeration (rows registered on the batcher).
 
     Partitions the device cannot arbitrate — walls surviving into linkage at
     dispatch time, float32 ties at consume time — are resolved by exact host
     linkage over the SAME float64 matrix (never rebuilt)."""
     threshold = float(options.cluster_max_distance)
-    pending = PendingDeviceClusters(samples, threshold)
-    # (index, survivors, matrix_f64, reads, dropped_count) per partition
-    prepared = []
+    pending = PendingDeviceClusters(samples, threshold, batcher)
     fallback = pending.ready
     for index, sample in enumerate(samples):
         matrix = accel.distance_matrix(sample, element_type, reference,
@@ -288,100 +344,74 @@ def _dispatch_matrix(samples, element_type, reference, options, ed_cache,
                 matrix, reads, survivors, threshold, dedup_same_read),
                 dropped_count)
             continue
-        prepared.append((index, survivors, matrix, reads, dropped_count))
-
-    by_bucket = {}
-    for position, entry in enumerate(prepared):
-        by_bucket.setdefault(_bucket(len(entry[1])), []).append(position)
-    for pad, positions in sorted(by_bucket.items()):
-        batch = _round_up_pow2(len(positions))
-        matrices = np.full((batch, pad, pad), 3.0e38, dtype=np.float32)
-        valid = np.zeros((batch, pad), dtype=bool)
-        for row, position in enumerate(positions):
-            _, survivors, matrix, _, _ = prepared[position]
-            n = len(survivors)
-            matrices[row, :n, :n] = matrix
-            valid[row, :n] = True
-        num_shards = getattr(options, "num_shards", 1)
-        if num_shards > 1:
-            from svim_tpu.parallel.mesh import shard_batch
-            matrices, valid = shard_batch(num_shards, matrices, valid)
-        outputs = agglomerate_batched(matrices, valid)
-        pending.matrix.append((positions, prepared, outputs))
+        pending.matrix.append((index, survivors, matrix, reads, dropped_count,
+                               batcher.add_matrix(matrix)))
     return pending
 
 
-def _consume_matrix(pending, wall_same_read=True, fetched=None):
+def _consume_matrix(pending, fetched, wall_same_read=True):
     results = dict(pending.ready)
     threshold = pending.threshold
-    for entry, (positions, prepared, outputs) in enumerate(pending.matrix):
-        if fetched is not None:
-            fetched_outputs = fetched[entry]
+    for (index, survivors, matrix, reads, dropped_count,
+         (_route, pad, row)) in pending.matrix:
+        merges_lo, merges_hi, heights, min_gap = fetched[("matrix", pad)]
+        if float(min_gap[row]) < TIE_EPS:
+            labels = None
         else:
-            import jax
-
-            fetched_outputs = jax.device_get(outputs)
-        merges_lo, merges_hi, heights, min_gap = fetched_outputs
-        for row, position in enumerate(positions):
-            index, survivors, matrix, reads, dropped_count = prepared[position]
-            if float(min_gap[row]) < TIE_EPS:
-                labels = None
-            else:
-                labels = labels_from_merges(merges_lo[row], merges_hi[row],
-                                            heights[row], len(survivors),
-                                            threshold)
-            if labels is None:
-                # float32 could not arbitrate: exact host linkage over the
-                # float64 matrix built at dispatch (no recomputation)
-                clusters = _host_linkage_clusters(
-                    matrix, reads, survivors, threshold,
-                    wall_same_read and reads is not None)
-                results[index] = DeviceClusterResult(clusters, dropped_count)
-                continue
-            results[index] = DeviceClusterResult(
-                _group_survivors(survivors, labels), dropped_count)
+            labels = labels_from_merges(merges_lo[row], merges_hi[row],
+                                        heights[row], len(survivors),
+                                        threshold)
+        if labels is None:
+            # float32 could not arbitrate: exact host linkage over the
+            # float64 matrix built at dispatch (no recomputation)
+            clusters = _host_linkage_clusters(
+                matrix, reads, survivors, threshold,
+                wall_same_read and reads is not None)
+            results[index] = DeviceClusterResult(clusters, dropped_count)
+            continue
+        results[index] = DeviceClusterResult(
+            _group_survivors(survivors, labels), dropped_count)
     return results
 
 
 def dispatch_partitions_device(samples: List[list], element_type: str,
-                               reference, options, ed_cache=None):
-    """Launch the device agglomerations for same-type partitions (each 3..128
-    elements) WITHOUT waiting for the results (jax async dispatch); pair with
-    consume_partitions_device.  Lets the driver overlap all six types'
-    kernels."""
+                               reference, options, ed_cache=None,
+                               batcher=None):
+    """Register the device agglomerations for same-type partitions (each
+    3..128 elements) on `batcher` (one is created when None); pair with
+    consume_partitions_device.  A driver staging several types on one
+    batcher gets ONE kernel dispatch per (route, pad bucket) and can fetch
+    everything with one device_get."""
+    if batcher is None:
+        batcher = DeviceBatcher(options)
     if element_type in FUSED_TYPES:
-        pending = _dispatch_fused(samples, element_type, options)
-        pending.samples = samples
-        return pending
+        return _dispatch_fused(samples, element_type, options, batcher)
     if element_type in MATRIX_TYPES:
         return _dispatch_matrix(samples, element_type, reference, options,
-                                ed_cache)
+                                ed_cache, batcher)
     raise ValueError("unknown signature type {0}".format(element_type))
 
 
-def pending_device_outputs(pending: PendingDeviceClusters):
-    """The in-flight device output trees of this pending batch, in entry
-    order — lets a driver fetch MANY types' results in one jax.device_get
-    (each device_get pays a full RPC round trip over the tunneled TPU, so
-    the six types' per-bucket fetches batch into a single round trip)."""
-    if pending.fused:
-        return [outputs for _indices, outputs in pending.fused]
-    return [outputs for _positions, _prepared, outputs in pending.matrix]
-
-
 def consume_partitions_device(pending: PendingDeviceClusters, fetched=None):
-    """Fetch dispatched results and reconstruct clusters.
+    """Fetch registered results and reconstruct clusters.
 
-    `fetched` optionally supplies already-fetched output trees (matching
-    pending_device_outputs order) so a driver can batch the fetch across
-    types; when None each entry is fetched here.
+    `fetched` optionally supplies the already-fetched batcher outputs
+    ({bucket key: arrays}, from one jax.device_get over
+    pending.batcher.device_outputs()) so a driver can batch the fetch across
+    types; when None the batcher's outputs are fetched here.
 
     Returns {index: DeviceClusterResult}; a result with clusters=None means
     float32 could not safely arbitrate that partition and the caller must
     re-run it through the exact host path."""
+    if fetched is None:
+        import jax
+
+        # one batched fetch: per-array np.asarray pays a full RPC round
+        # trip each over the tunneled TPU (measured ~10x slower)
+        fetched = jax.device_get(pending.batcher.device_outputs())
     if pending.fused:
-        return _consume_fused(pending, fetched=fetched)
-    return _consume_matrix(pending, fetched=fetched)
+        return _consume_fused(pending, fetched)
+    return _consume_matrix(pending, fetched)
 
 
 def cluster_partitions_device(samples: List[list], element_type: str,
@@ -394,6 +424,9 @@ def cluster_partitions_device(samples: List[list], element_type: str,
 def cluster_candidates_device(samples: List[list], options):
     """Device agglomeration for the second DUP_INT candidate round
     (reference: SVIM_clustering.py:306-372 — no dedup, no walls)."""
-    return _consume_matrix(_dispatch_matrix(samples, "DUP_INT", None, options,
-                                            None, dedup_same_read=False),
-                           wall_same_read=False)
+    import jax
+
+    pending = _dispatch_matrix(samples, "DUP_INT", None, options, None,
+                               DeviceBatcher(options), dedup_same_read=False)
+    fetched = jax.device_get(pending.batcher.device_outputs())
+    return _consume_matrix(pending, fetched, wall_same_read=False)

@@ -133,8 +133,12 @@ WALL = jnp.float32(99999.0)
 
 
 def _span_position_fused_one(starts, ends, reads, valid, norm, threshold,
-                             wall_same_read, steps=None):
+                             wall_flag, steps=None):
     """One partition: device distance matrix + dedup + agglomeration.
+
+    `wall_flag` is a traced per-partition boolean (True = apply the same-read
+    dedup rule + wall; False = INV semantics), so partitions of DIFFERENT
+    types batch into one kernel invocation.
 
     Returns (merges_lo, merges_hi, heights, min_gap, dropped, has_wall,
     dedup_ambiguous)."""
@@ -151,41 +155,41 @@ def _span_position_fused_one(starts, ends, reads, valid, norm, threshold,
     pair_valid = valid[:, None] & valid[None, :] & ~eye
     same_read = (reads[:, None] == reads[None, :]) & pair_valid
 
-    if wall_same_read:
-        # reference dedup rule (SVIM_clustering.py:145-151): drop j when some
-        # i < j from the same read is within the cut threshold
-        row_lt = jax.lax.broadcasted_iota(jnp.int32, (p, p), 0) < \
-            jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
-        close = distance <= threshold
-        dropped = jnp.any(same_read & close & row_lt, axis=0)
-        # float32 cannot arbitrate a dedup comparison this close to the cut
-        near_cut = jnp.abs(distance - threshold) < TIE_EPS * jnp.maximum(distance, 1.0)
-        dedup_ambiguous = jnp.any(same_read & near_cut)
-        alive = valid & ~dropped
-        pair_alive = alive[:, None] & alive[None, :] & ~eye
-        surviving_same_read = same_read & pair_alive
-        has_wall = jnp.any(surviving_same_read)
-        d = jnp.where(surviving_same_read, WALL, distance)
-        d = jnp.where(pair_alive, d, BIG)
-    else:
-        dropped = jnp.zeros((p,), dtype=bool)
-        dedup_ambiguous = jnp.bool_(False)
-        has_wall = jnp.bool_(False)
-        d = jnp.where(pair_valid, distance, BIG)
+    # reference dedup rule (SVIM_clustering.py:145-151): drop j when some
+    # i < j from the same read is within the cut threshold
+    row_lt = jax.lax.broadcasted_iota(jnp.int32, (p, p), 0) < \
+        jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
+    close = distance <= threshold
+    dropped = wall_flag & jnp.any(same_read & close & row_lt, axis=0)
+    # float32 cannot arbitrate a dedup comparison this close to the cut
+    near_cut = jnp.abs(distance - threshold) < TIE_EPS * jnp.maximum(distance, 1.0)
+    dedup_ambiguous = wall_flag & jnp.any(same_read & near_cut)
+    alive = valid & ~dropped
+    pair_alive = alive[:, None] & alive[None, :] & ~eye
+    surviving_same_read = same_read & pair_alive & wall_flag
+    has_wall = jnp.any(surviving_same_read)
+    d = jnp.where(surviving_same_read, WALL, distance)
+    d = jnp.where(pair_alive, d, BIG)
 
     merges_lo, merges_hi, heights, min_gap = _agglomerate_one(d, steps)
     return merges_lo, merges_hi, heights, min_gap, dropped, has_wall, dedup_ambiguous
 
 
-@partial(jax.jit, static_argnames=("wall_same_read",))
+@jax.jit
 def span_position_agglomerate_batched(starts, ends, reads, valid, norm,
                                       threshold, wall_same_read=True):
     """(B, P) int32 coordinate batch -> per-partition merge sequences plus
-    dedup/diagnostic outputs (see _span_position_fused_one)."""
+    dedup/diagnostic outputs (see _span_position_fused_one).
+
+    `wall_same_read` may be a scalar bool (applied to every partition) or a
+    (B,) bool array (per-partition type semantics — one compiled variant
+    serves mixed-type batches)."""
+    batch = starts.shape[0]
+    wall = jnp.broadcast_to(jnp.asarray(wall_same_read, dtype=bool), (batch,))
     steps = jnp.maximum(jnp.max(jnp.sum(valid, axis=1)) - 1, 0)
     return jax.vmap(_span_position_fused_one,
-                    in_axes=(0, 0, 0, 0, None, None, None, None))(
-        starts, ends, reads, valid, norm, threshold, wall_same_read, steps)
+                    in_axes=(0, 0, 0, 0, None, None, 0, None))(
+        starts, ends, reads, valid, norm, threshold, wall, steps)
 
 
 # --- legacy flat-label variant (mesh demo / tests) ----------------------------
