@@ -217,6 +217,10 @@ def _array_measurement(tmp_dir, bam_path, genome_path):
         run_cluster(signatures, options)
         cluster_time = time.perf_counter() - t0
         best = min(best, collect_time + cluster_time)
+        # release this iteration's packed buffers BEFORE the next scan so the
+        # native inflate pool can recycle them (a fresh hundreds-of-MB
+        # bytearray risks this kernel's variable page-compaction stalls)
+        del _header, _packed, signatures, _twins
     print(json.dumps({"platform": platform, "best_s": best}))
 
 
