@@ -99,6 +99,15 @@ class FastaFile:
                 pass  # read-only location: keep the in-memory index
         self._by_name: Dict[str, FastaIndexEntry] = {e.name: e for e in self._entries}
         self._handle = open(filename, "rb")
+        # window fetches are hot (one per INS partition / consensus locus);
+        # mmap slicing serves them from the page cache without per-call
+        # seek+read syscalls
+        try:
+            import mmap
+            self._map = mmap.mmap(self._handle.fileno(), 0,
+                                  access=mmap.ACCESS_READ)
+        except (ValueError, OSError):
+            self._map = None  # empty or unmappable file: seek+read fallback
 
     # -- pysam-compatible surface ---------------------------------------------------
 
@@ -126,11 +135,17 @@ class FastaFile:
             return ""
         first_offset = entry.offset + (start // entry.linebases) * entry.linewidth + start % entry.linebases
         last_offset = entry.offset + ((end - 1) // entry.linebases) * entry.linewidth + (end - 1) % entry.linebases
-        self._handle.seek(first_offset)
-        raw = self._handle.read(last_offset - first_offset + 1)
+        if self._map is not None:
+            raw = self._map[first_offset:last_offset + 1]
+        else:
+            self._handle.seek(first_offset)
+            raw = self._handle.read(last_offset - first_offset + 1)
         return raw.replace(b"\n", b"").replace(b"\r", b"").decode()
 
     def close(self):
+        if self._map is not None:
+            self._map.close()
+            self._map = None
         if self._handle is not None:
             self._handle.close()
             self._handle = None
