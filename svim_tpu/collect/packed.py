@@ -524,7 +524,6 @@ def _dispatch_classify_fused(packed, group_rows, group_sa_segments,
     must be empty lists and no hard-clip gate applies."""
     from svim_tpu.ops.segments_kernel import classify_groups_fused
 
-    n_groups = len(group_rows)
     if slot_rows is not None:
         s_pad = max(2, max(len(slot_list) for slot_list in slot_rows))
     else:
@@ -532,6 +531,18 @@ def _dispatch_classify_fused(packed, group_rows, group_sa_segments,
         # first MAX_SEGMENTS — so every segment participates in the sort,
         # exactly like the host's segments.sort()[:MAX_SEGMENTS]
         s_pad = max(2, max(1 + len(segs) for segs in group_sa_segments))
+
+    # bucket both axes to powers of two: each distinct shape is its own jit
+    # compile, and compiles over the tunneled TPU cost seconds (padded groups
+    # carry valid=False and emit nothing)
+    def _pow2(value, floor):
+        result = floor
+        while result < value:
+            result *= 2
+        return result
+
+    n_groups = _pow2(len(group_rows), 8)
+    s_pad = _pow2(s_pad, 2)
 
     slot_row = np.full((n_groups, s_pad), -1, dtype=np.int32)
     q_start = np.zeros((n_groups, s_pad), dtype=np.int32)
@@ -547,7 +558,8 @@ def _dispatch_classify_fused(packed, group_rows, group_sa_segments,
             slot_row[g, :len(slot_list)] = slot_list
             valid[g, :len(slot_list)] = True
     else:
-        hard_gate = np.asarray(group_rows, dtype=np.int32)
+        hard_gate = np.full(n_groups, -1, dtype=np.int32)
+        hard_gate[:len(group_rows)] = group_rows
         for g, (row, segments) in enumerate(zip(group_rows,
                                                 group_sa_segments)):
             slot_row[g, 0] = row
