@@ -148,10 +148,11 @@ def precompute_ins_edit_distances(samples, reference, options):
                                      int(starts.min()), int(starts.max()))
             win_parts.append(window.sequence.encode())
             win_coords.append(window.offset)
-            sequences = [e.sequence.upper().encode() for e in sample]
-            seq_parts.extend(sequences)
-            seq_len_parts.append(np.fromiter((len(s) for s in sequences),
-                                             dtype=np.int64, count=len(sequences)))
+            # one join+upper+encode per partition (not per element): ASCII
+            # upper is per-character, so the bytes are identical
+            seq_parts.append("".join(e.sequence for e in sample).upper().encode())
+            seq_len_parts.append(np.fromiter((len(e.sequence) for e in sample),
+                                             dtype=np.int64, count=len(sample)))
             elem_start_parts.append(starts)
             pair_a_parts.append(pairs_i.astype(np.int64) + base)
             pair_b_parts.append(pairs_j.astype(np.int64) + base)

@@ -265,11 +265,25 @@ def poa_consensus(sequences, refine_rounds=2):
     for _ in range(refine_rounds):
         if not consensus:
             break
-        refined = _star_consensus(sequences, center=consensus)
+        refined = _polish_round(sequences, consensus)
         if refined == consensus:
             break
         consensus = refined
     return consensus
+
+
+def _polish_round(sequences, center):
+    """One vote-polish round: native C++ (alignments + column voting in one
+    call) when available, Python oracle otherwise — byte-identical results
+    (tests/test_consensus.py pins the differential)."""
+    try:
+        from svim_tpu.native import star_polish_native
+        refined = star_polish_native(sequences, center)
+        if refined is not None:
+            return refined
+    except Exception:
+        pass
+    return _star_consensus(sequences, center=center)
 
 
 def _star_consensus(sequences, center=None):

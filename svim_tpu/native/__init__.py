@@ -95,6 +95,13 @@ def get_library():
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64)]
+        lib.star_polish.restype = ctypes.c_int
+        lib.star_polish.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float,
+            ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
         lib.bam_count.restype = ctypes.c_int
         lib.bam_count.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
@@ -300,6 +307,32 @@ def poa_consensus_native(sequences, max_cells: int = POA_MAX_CELLS,
     status = lib.poa_consensus_native(blob, lens, len(sequences), max_cells,
                                       full_dp_cells, out, out_cap,
                                       ctypes.byref(out_len))
+    if status != 0:
+        return None
+    return out.raw[:out_len.value].decode()
+
+
+def star_polish_native(sequences, center: str):
+    """One consensus polish round: align every sequence to `center` and
+    re-vote columns + insertion blocks, entirely in C++ (native twin of
+    combine/consensus._star_consensus(center=...); differential test pins
+    byte equality).  Returns the refined consensus, or None when the native
+    library is unavailable."""
+    lib = get_library()
+    if lib is None or not sequences or not center:
+        return None
+    blob = "".join(sequences).encode()
+    lens = (ctypes.c_int64 * len(sequences))(*[len(s) for s in sequences])
+    center_bytes = center.encode()
+    out_cap = len(center_bytes) + len(blob) + 64
+    out = ctypes.create_string_buffer(out_cap)
+    out_len = ctypes.c_int64(0)
+    status = lib.star_polish(blob, lens, len(sequences),
+                             center_bytes, len(center_bytes),
+                             aligner.MATCH, aligner.MISMATCH,
+                             aligner.GAP_OPEN1, aligner.GAP_EXT1,
+                             aligner.GAP_OPEN2, aligner.GAP_EXT2,
+                             out, out_cap, ctypes.byref(out_len))
     if status != 0:
         return None
     return out.raw[:out_len.value].decode()

@@ -1204,4 +1204,128 @@ int64_t myers_distance(const uint8_t* pattern, int64_t m,
   return score;
 }
 
+// ---------------------------------------------------------------------------
+// Star-polish round: align every sequence to `center` with the two-piece
+// Gotoh above, then re-vote consensus columns and insertion blocks.  Native
+// twin of combine/consensus._star_consensus(center=...) (center_votes=False)
+// — the Python path is the oracle and a differential test pins byte
+// equality.  Tie semantics replicate Python's Counter + max: the winner
+// maximizes (count, base != '-'); ties break to the EARLIEST first
+// occurrence in the vote list, with the implicit missing-row '-' top-up
+// sitting after every real occurrence.
+// ---------------------------------------------------------------------------
+
+static char vote_column(const unsigned char* chars, int n_chars, int n_rows) {
+  int count[256];
+  int first[256];
+  std::memset(count, 0, sizeof(count));
+  for (int k = 0; k < n_chars; ++k) {
+    unsigned char c = chars[k];
+    if (count[c] == 0) first[c] = k;
+    count[c]++;
+  }
+  const unsigned char dash = '-';
+  if (count[dash] == 0) first[dash] = n_chars;  // appended after real chars
+  count[dash] += n_rows - n_chars;
+  int best = -1;
+  for (int c = 0; c < 256; ++c) {
+    if (count[c] == 0 && c != dash) continue;
+    if (best < 0) { best = c; continue; }
+    int cnt_c = count[c], cnt_b = count[best];
+    bool nd_c = c != dash, nd_b = best != dash;
+    if (cnt_c > cnt_b
+        || (cnt_c == cnt_b && nd_c && !nd_b)
+        || (cnt_c == cnt_b && nd_c == nd_b && first[c] < first[best])) {
+      best = c;
+    }
+  }
+  if (best != dash && 2 * count[best] >= n_rows) return (char)best;
+  return 0;
+}
+
+int star_polish(const char* blob, const int64_t* lens, int n_seq,
+                const char* center, int64_t center_len,
+                float match, float mismatch,
+                float gap_open1, float gap_ext1,
+                float gap_open2, float gap_ext2,
+                char* out, int64_t out_cap, int64_t* out_len) {
+  if (center_len <= 0 || n_seq <= 0) return -1;
+  // per center position: aligned chars (one per sequence) and insert blocks
+  std::vector<std::string> column_chars(center_len);
+  std::vector<std::vector<std::string>> insert_blocks(center_len + 1);
+  for (int64_t p = 0; p < center_len; ++p) column_chars[p].reserve(n_seq);
+
+  int64_t max_len = 0;
+  for (int s = 0; s < n_seq; ++s) max_len = std::max(max_len, lens[s]);
+  std::vector<char> row_a(center_len + max_len + 1);
+  std::vector<char> row_b(center_len + max_len + 1);
+
+  int64_t offset = 0;
+  for (int s = 0; s < n_seq; ++s) {
+    const char* seq = blob + offset;
+    const int64_t len = lens[s];
+    offset += len;
+    int64_t n = 0;
+    if (len == 0) {
+      // align_global("x...", "") = (center, all dashes)
+      for (int64_t p = 0; p < center_len; ++p) column_chars[p].push_back('-');
+      continue;
+    }
+    if (gotoh_align(center, center_len, seq, len, match, mismatch,
+                    gap_open1, gap_ext1, gap_open2, gap_ext2,
+                    row_a.data(), row_b.data(), &n) != 0) {
+      return -2;
+    }
+    int64_t pos = 0;
+    std::string pending;
+    for (int64_t k = 0; k < n; ++k) {
+      const char cc = row_a[k];
+      const char cs = row_b[k];
+      if (cc == '-') {
+        pending.push_back(cs);
+      } else {
+        if (!pending.empty()) {
+          insert_blocks[pos].push_back(pending);
+          pending.clear();
+        }
+        column_chars[pos].push_back(cs);
+        pos++;
+      }
+    }
+    if (!pending.empty()) insert_blocks[pos].push_back(pending);
+  }
+
+  int64_t out_pos = 0;
+  std::vector<unsigned char> col;
+  for (int64_t pos = 0; pos <= center_len; ++pos) {
+    const std::vector<std::string>& blocks = insert_blocks[pos];
+    if (!blocks.empty()) {
+      size_t width = 0;
+      for (const std::string& block : blocks) width = std::max(width, block.size());
+      for (size_t c = 0; c < width; ++c) {
+        col.clear();
+        for (const std::string& block : blocks) {
+          if (c < block.size()) col.push_back((unsigned char)block[c]);
+        }
+        char base = vote_column(col.data(), (int)col.size(), n_seq);
+        if (base) {
+          if (out_pos >= out_cap) return -3;
+          out[out_pos++] = base;
+        }
+      }
+    }
+    if (pos < center_len) {
+      const std::string& chars = column_chars[pos];
+      char base = vote_column((const unsigned char*)chars.data(),
+                              (int)chars.size(), n_seq);
+      if (base) {
+        if (out_pos >= out_cap) return -3;
+        out[out_pos++] = base;
+      }
+    }
+  }
+  *out_len = out_pos;
+  return 0;
+}
+
 }  // extern "C"

@@ -124,3 +124,41 @@ def test_long_insertion_cluster_banded_poa():
     assert abs(size - 8000) < 40
     from svim_tpu.native import aligner
     assert aligner.edit_distance(consensus, motif) < 40  # <0.5% residual
+
+
+def test_native_star_polish_matches_python_oracle():
+    """The C++ star_polish round must be byte-identical to the Python
+    _star_consensus(center=...) oracle, including vote tie semantics
+    (count, non-dash preference, first-occurrence order) and empty/short
+    sequences."""
+    import random
+
+    from svim_tpu import native
+    from svim_tpu.combine.consensus import _star_consensus
+
+    if native.get_library() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+
+    rng = random.Random(91)
+    for trial in range(60):
+        base = "".join(rng.choice("ACGT") for _ in range(rng.randint(2, 300)))
+        sequences = []
+        for _ in range(rng.randint(1, 15)):
+            chars = list(base)
+            for _ in range(rng.randint(0, 8)):
+                op = rng.choice("sid")
+                pos = rng.randrange(max(1, len(chars)))
+                if op == "s" and chars:
+                    chars[pos] = rng.choice("ACGT")
+                elif op == "i":
+                    chars.insert(pos, rng.choice("ACGT"))
+                elif chars:
+                    del chars[pos]
+            sequences.append("".join(chars))
+        if rng.random() < 0.2:
+            sequences.append("")  # empty row: all-dash column votes
+        center = base if rng.random() < 0.5 else sequences[0] or base
+        native_result = native.star_polish_native(sequences, center)
+        oracle = _star_consensus(sequences, center=center)
+        assert native_result == oracle, (trial, center, sequences)
