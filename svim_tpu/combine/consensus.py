@@ -275,7 +275,15 @@ def poa_consensus(sequences, refine_rounds=2):
 def _polish_round(sequences, center):
     """One vote-polish round: native C++ (alignments + column voting in one
     call) when available, Python oracle otherwise — byte-identical results
-    (tests/test_consensus.py pins the differential)."""
+    (tests/test_consensus.py pins the differential).
+
+    Pairs over the align_global DP budget keep the pre-existing contract
+    (MemoryError -> consensus status 2) instead of running an unbounded
+    native DP."""
+    largest = max((len(sequence) for sequence in sequences), default=0)
+    if (len(center) + 1) * (largest + 1) > MAX_DP_CELLS_NATIVE:
+        raise MemoryError("alignment DP too large: {0}x{1}".format(
+            len(center), largest))
     try:
         from svim_tpu.native import star_polish_native
         refined = star_polish_native(sequences, center)
