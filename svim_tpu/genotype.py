@@ -101,6 +101,11 @@ def _genotype_index(table, min_mapq):
     name_ids = np.empty(len(ref_id), dtype=np.int64)
     id_of_name = {}
     names = table.names
+    take = getattr(names, "take", None)
+    if take is not None:
+        # one vectorized decode for the whole column (per-row __getitem__
+        # pays numpy call overhead each)
+        names = take(np.arange(len(ref_id)))
     for row in range(len(ref_id)):
         name_ids[row] = id_of_name.setdefault(names[row], len(id_of_name))
     per_tid = {}
