@@ -196,6 +196,9 @@ def parse_arguments(program_version: str = "2.0.0", arguments=None) -> Config:
         description="svim-tpu {0}: TPU-native structural variant identification from long reads.".format(program_version),
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     subparsers = parser.add_subparsers(dest="sub")
+    # reference: SVIM_input_parsing.py:25-28
+    parser.add_argument("--version", "-v", action="version",
+                        version="%(prog)s {0}".format(program_version))
 
     parser_fasta = subparsers.add_parser("reads", help="Detect SVs from raw reads. Align reads first.")
     parser_fasta.add_argument("working_dir", type=str, help="Working and output directory.")

@@ -59,3 +59,17 @@ def test_config_is_immutable_and_replaceable():
         options.min_mapq = 10
     updated = options.replace(min_mapq=10)
     assert updated.min_mapq == 10 and options.min_mapq == 20
+
+
+def test_version_flag_exits_with_version(capsys):
+    """--version / -v print 'svim-tpu <version>' and exit 0
+    (reference: SVIM_input_parsing.py:25-28)."""
+    import pytest
+
+    from svim_tpu.config import parse_arguments
+
+    for flag in ("--version", "-v"):
+        with pytest.raises(SystemExit) as excinfo:
+            parse_arguments(arguments=[flag])
+        assert excinfo.value.code == 0
+        assert capsys.readouterr().out.strip() == "svim-tpu 2.0.0"
