@@ -1250,35 +1250,77 @@ int star_polish(const char* blob, const int64_t* lens, int n_seq,
                 float gap_open2, float gap_ext2,
                 char* out, int64_t out_cap, int64_t* out_len) {
   if (center_len <= 0 || n_seq <= 0) return -1;
-  // per center position: aligned chars (one per sequence) and insert blocks
+
+  // Phase 1: per-member alignments (independent; long-insert clusters run
+  // them across a small thread pool — one 8 kb x 20-member cluster is
+  // otherwise a single ~25 s serial task while sibling cores idle).
+  std::vector<std::string> rows_a(n_seq), rows_b(n_seq);
+  std::vector<int64_t> offsets(n_seq);
+  {
+    int64_t offset = 0;
+    for (int s = 0; s < n_seq; ++s) {
+      offsets[s] = offset;
+      offset += lens[s];
+    }
+  }
+  int64_t total_cells = 0;
+  for (int s = 0; s < n_seq; ++s) total_cells += (center_len + 1) * (lens[s] + 1);
+  int n_threads = 1;
+  if (total_cells > 32'000'000) {
+    n_threads = (int)std::min<int64_t>(
+        std::max(1u, std::thread::hardware_concurrency()),
+        std::min<int64_t>(n_seq, 1 + total_cells / 32'000'000));
+  }
+  std::atomic<int> next_seq{0};
+  std::atomic<int> align_error{0};
+  auto align_worker = [&]() {
+    std::vector<char> row_a(0), row_b(0);
+    for (;;) {
+      int s = next_seq.fetch_add(1);
+      if (s >= n_seq || align_error.load()) break;
+      const int64_t len = lens[s];
+      if (len == 0) continue;  // handled in the walk phase
+      row_a.resize(center_len + len + 1);
+      row_b.resize(center_len + len + 1);
+      int64_t n = 0;
+      if (gotoh_align(center, center_len, blob + offsets[s], len,
+                      match, mismatch, gap_open1, gap_ext1,
+                      gap_open2, gap_ext2,
+                      row_a.data(), row_b.data(), &n) != 0) {
+        align_error.store(1);
+        break;
+      }
+      rows_a[s].assign(row_a.data(), n);
+      rows_b[s].assign(row_b.data(), n);
+    }
+  };
+  if (n_threads > 1) {
+    std::vector<std::thread> threads;
+    for (int t = 1; t < n_threads; ++t) threads.emplace_back(align_worker);
+    align_worker();
+    for (auto& thread : threads) thread.join();
+  } else {
+    align_worker();
+  }
+  if (align_error.load()) return -2;
+
+  // Phase 2: sequential row walk + voting in member order (identical to the
+  // serial formulation — alignments are independent of each other).
   std::vector<std::string> column_chars(center_len);
   std::vector<std::vector<std::string>> insert_blocks(center_len + 1);
   for (int64_t p = 0; p < center_len; ++p) column_chars[p].reserve(n_seq);
 
-  int64_t max_len = 0;
-  for (int s = 0; s < n_seq; ++s) max_len = std::max(max_len, lens[s]);
-  std::vector<char> row_a(center_len + max_len + 1);
-  std::vector<char> row_b(center_len + max_len + 1);
-
-  int64_t offset = 0;
   for (int s = 0; s < n_seq; ++s) {
-    const char* seq = blob + offset;
-    const int64_t len = lens[s];
-    offset += len;
-    int64_t n = 0;
-    if (len == 0) {
+    if (lens[s] == 0) {
       // align_global("x...", "") = (center, all dashes)
       for (int64_t p = 0; p < center_len; ++p) column_chars[p].push_back('-');
       continue;
     }
-    if (gotoh_align(center, center_len, seq, len, match, mismatch,
-                    gap_open1, gap_ext1, gap_open2, gap_ext2,
-                    row_a.data(), row_b.data(), &n) != 0) {
-      return -2;
-    }
+    const std::string& row_a = rows_a[s];
+    const std::string& row_b = rows_b[s];
     int64_t pos = 0;
     std::string pending;
-    for (int64_t k = 0; k < n; ++k) {
+    for (size_t k = 0; k < row_a.size(); ++k) {
       const char cc = row_a[k];
       const char cs = row_b[k];
       if (cc == '-') {
