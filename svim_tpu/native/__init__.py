@@ -30,7 +30,7 @@ _POA_SOURCE = os.path.join(os.path.dirname(__file__), "poa.cpp")
 
 
 def _build() -> bool:
-    command = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+    command = ["g++", "-O3", "-march=x86-64-v3", "-shared", "-fPIC", "-std=c++17",
                "-o", _LIBRARY, _SOURCE, _POA_SOURCE, "-lz", "-lpthread",
                "-ldl"]
     try:

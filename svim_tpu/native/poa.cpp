@@ -338,6 +338,97 @@ static bool align_to_graph_banded(const Graph& graph, const char* seq,
     } else {
       for (int p : node.preds) pred_rows.push_back(graph.rank_of[p] + 1);
     }
+    if (pred_rows.size() == 1) {
+      // single-predecessor fast path (the overwhelming majority of nodes in
+      // a near-linear graph): hoist the predecessor band tests out of the
+      // inner loop by splitting j into segments where the (pr, j) and
+      // (pr, j-1) in-band flags are constant.  Arithmetic per cell is
+      // IDENTICAL to the general loop below — outputs are byte-equal.
+      const int pr = pred_rows[0];
+      const float* best_pr = best.data() + row_base[pr] - lo[pr];
+      const float* D1_pr = D1.data() + row_base[pr] - lo[pr];
+      const float* D2_pr = D2.data() + row_base[pr] - lo[pr];
+      auto run_segment = [&](int64_t j0, int64_t j1, bool pd, bool pm) {
+        for (int64_t j = j0; j <= j1; ++j) {
+          const int64_t cell = at(r, j);
+          const float bprj = pd ? best_pr[j] : kNegInf;
+          float d1 = kNegInf, d2 = kNegInf;
+          int d1_src = -1, d2_src = -1;
+          uint8_t dext = 0;
+          {
+            float open1 = bprj + kGapOpen1;
+            float ext1 = (pd ? D1_pr[j] : kNegInf) + kGapExt1;
+            float cand1 = std::max(open1, ext1);
+            if (cand1 > d1) {
+              d1 = cand1;
+              d1_src = pr;
+              dext = (dext & ~1) | (ext1 >= open1 ? 1 : 0);
+            }
+            float open2 = bprj + kGapOpen2;
+            float ext2 = (pd ? D2_pr[j] : kNegInf) + kGapExt2;
+            float cand2 = std::max(open2, ext2);
+            if (cand2 > d2) {
+              d2 = cand2;
+              d2_src = pr;
+              dext = (dext & ~2) | (ext2 >= open2 ? 2 : 0);
+            }
+          }
+          D1[cell] = d1;
+          D2[cell] = d2;
+          d1_from[cell] = d1_src;
+          d2_from[cell] = d2_src;
+          d_ext[cell] = dext;
+
+          float m = kNegInf;
+          int m_src = -1;
+          if (j >= 1) {
+            const float sub = (base == seq[j - 1]) ? kMatch : kMismatch;
+            float cand = (pm ? best_pr[j - 1] : kNegInf) + sub;
+            if (cand > m) { m = cand; m_src = pr; }
+          }
+          M[cell] = m;
+          m_from[cell] = m_src;
+
+          float i1 = kNegInf, i2 = kNegInf;
+          if (j >= 1 && in_band(r, j - 1)) {
+            float open1 = best[at(r, j - 1)] + kGapOpen1;
+            float ext1 = I1[at(r, j - 1)] + kGapExt1;
+            i1 = std::max(open1, ext1);
+            if (ext1 >= open1) i_ext[cell] |= 1;
+            float open2 = best[at(r, j - 1)] + kGapOpen2;
+            float ext2 = I2[at(r, j - 1)] + kGapExt2;
+            i2 = std::max(open2, ext2);
+            if (ext2 >= open2) i_ext[cell] |= 2;
+          }
+          I1[cell] = i1;
+          I2[cell] = i2;
+
+          float b = m;
+          uint8_t state = 0;
+          if (d1 > b) { b = d1; state = 1; }
+          if (d2 > b) { b = d2; state = 2; }
+          if (i1 > b) { b = i1; state = 3; }
+          if (i2 > b) { b = i2; state = 4; }
+          best[cell] = b;
+          best_state[cell] = state;
+        }
+      };
+      // segment boundaries where (pr, j) / (pr, j-1) in-band flips
+      int64_t cuts[4] = {lo[pr], hi[pr] + 1, lo[pr] + 1, hi[pr] + 2};
+      int64_t j0 = lo[r];
+      const int64_t j_end = hi[r];
+      while (j0 <= j_end) {
+        int64_t j1 = j_end;
+        for (int64_t cut : cuts) {
+          if (cut > j0 && cut - 1 < j1) j1 = cut - 1;
+        }
+        const bool pd = j0 >= lo[pr] && j0 <= hi[pr];
+        const bool pm = j0 - 1 >= lo[pr] && j0 - 1 <= hi[pr];
+        run_segment(j0, j1, pd, pm);
+        j0 = j1 + 1;
+      }
+      continue;
+    }
     for (int64_t j = lo[r]; j <= hi[r]; ++j) {
       const int64_t cell = at(r, j);
       float d1 = kNegInf, d2 = kNegInf;
