@@ -219,6 +219,27 @@ def collect_signatures_from_bam(bam_path: str, options):
     return header, packed, signatures, twins
 
 
+def collect_soa_from_bam(bam_path: str, options):
+    """COLLECT straight from a BAM into struct-of-arrays tables.
+
+    Returns (header, table, SignatureSoA, twins).  Large inputs stream
+    through the object path and convert (bounded memory wins over the
+    conversion cost there); the one-shot path builds the tables directly."""
+    import os
+
+    if (getattr(options, "stream_input", False)
+            or os.path.getsize(bam_path) > STREAMING_THRESHOLD_BYTES):
+        from svim_tpu.sigtable import soa_from_signatures
+        header, table, signatures, twins = collect_signatures_from_bam(
+            bam_path, options)
+        return header, table, soa_from_signatures(signatures), twins
+    from svim_tpu.io.bamscan import scan_bam
+    header, packed, sa_tags = scan_bam(bam_path, options.min_mapq,
+                                       options.min_sv_size)
+    soa, twins = signatures_from_packed_soa(packed, sa_tags, header, options)
+    return header, packed, soa, twins
+
+
 def dispatch_collect_scan(packed, options):
     """Dispatch the fused geometry+events device pass WITHOUT waiting
     (async): returns (rerun fn, device result tuple, max_events) for
@@ -397,6 +418,195 @@ def _emit_indel_events(packed, events, getrname, options,
                 per_row_twins.setdefault(row, []).append(SignatureTranslocation(
                     contig, start, "fwd", contig, start + length, "fwd",
                     "cigar", name))
+
+
+def _emit_indel_events_soa(packed, events, getrname, options, builders,
+                           contigs_pool, reads_pool, twin_rows):
+    """SoA materialization of CIGAR indel events: the whole batch becomes
+    table columns in a few vectorized passes — no Signature objects, no
+    per-event Python loop for DEL/INS (all_bnds twins stay objects: rare and
+    clustered separately).  Row order parity with _emit_indel_events comes
+    from the row tags (TableBuilder.finalize stable-sorts by packed row)."""
+    rows, pos_ref, pos_read, lengths, is_ins = events
+    rows = np.asarray(rows, dtype=np.int64)
+    if rows.size == 0:
+        return
+    lengths_arr = np.asarray(lengths, dtype=np.int64)
+    ins_mask = np.asarray(is_ins, dtype=bool)
+    tids = np.asarray(packed.ref_id)[rows]
+    starts = np.asarray(packed.ref_start, dtype=np.int64)[rows] + np.asarray(
+        pos_ref, dtype=np.int64)
+    names = _take_names(packed.names, rows)
+    read_codes = reads_pool.encode_all(names)
+    # tid -> contig pool code via a tiny lookup table
+    unique_tids = np.unique(tids)
+    lut = np.zeros(int(unique_tids.max()) + 1 if unique_tids.size else 1,
+                   dtype=np.int32)
+    for tid in unique_tids.tolist():
+        lut[tid] = contigs_pool.code(getrname(tid))
+    contig_codes = lut[tids]
+
+    del_mask = ~ins_mask
+    if del_mask.any():
+        builders["DEL"].add_chunk(rows[del_mask], {
+            "contig_code": contig_codes[del_mask],
+            "start": starts[del_mask],
+            "end": starts[del_mask] + lengths_arr[del_mask],
+            "read_code": read_codes[del_mask],
+            "source_code": np.zeros(int(del_mask.sum()), dtype=np.int8),
+        })
+        if options.all_bnds:
+            del_rows = rows[del_mask].tolist()
+            del_starts = starts[del_mask].tolist()
+            del_ends = (starts[del_mask] + lengths_arr[del_mask]).tolist()
+            contig_names = [contigs_pool.names[code]
+                            for code in contig_codes[del_mask].tolist()]
+            del_names = [name for name, ins in zip(names, ins_mask.tolist())
+                         if not ins]
+            for row, contig, start, end, name in zip(
+                    del_rows, contig_names, del_starts, del_ends, del_names):
+                twin_rows.append((row, SignatureTranslocation(
+                    contig, start, "fwd", contig, end, "fwd", "cigar", name)))
+    if ins_mask.any():
+        ins_read_pos = np.asarray(pos_read, dtype=np.int64)[ins_mask]
+        seqs = _slice_sequences_batch(
+            packed.sequences, rows[ins_mask], ins_read_pos,
+            ins_read_pos + lengths_arr[ins_mask])
+        blob = "".join(seqs).encode()
+        seq_lens = np.fromiter(map(len, seqs), dtype=np.int64, count=len(seqs))
+        seq_off = np.zeros(len(seqs), dtype=np.int64)
+        if len(seqs) > 1:
+            np.cumsum(seq_lens[:-1], out=seq_off[1:])
+        builders["INS"].add_chunk(rows[ins_mask], {
+            "contig_code": contig_codes[ins_mask],
+            "start": starts[ins_mask],
+            "end": starts[ins_mask] + lengths_arr[ins_mask],
+            "read_code": read_codes[ins_mask],
+            "source_code": np.zeros(int(ins_mask.sum()), dtype=np.int8),
+            "seq_blob": blob,
+            "seq_off": seq_off,
+            "seq_len": seq_lens,
+        })
+
+
+def signatures_from_packed_soa(packed, sa_tags, name_table, options,
+                               dispatched=None):
+    """signatures_from_packed with struct-of-arrays output.
+
+    Returns (SignatureSoA, twins) where twins is the all_bnds object list.
+    CIGAR indel events (the dense mass) become table columns directly;
+    split-read signatures run through the object emitters (sparse) and are
+    appended to the tables with their packed-row tags, so each table's row
+    order equals the object path's per-type signature order exactly."""
+    from svim_tpu.sigtable import SIG_TYPES, SignatureSoA, StringPool, TableBuilder
+
+    getrname = (name_table.getrname if hasattr(name_table, "getrname")
+                else name_table.get_reference_name)
+    get_tid = name_table.get_tid
+
+    contigs_pool = StringPool()
+    reads_pool = StringPool()
+    builders = {sig_type: TableBuilder(sig_type, contigs_pool, reads_pool)
+                for sig_type in SIG_TYPES}
+    twin_rows = []  # (row tag, SignatureTranslocation)
+
+    if packed.n == 0:
+        if packed.ref_end is None:
+            empty = np.zeros(0, dtype=np.int32)
+            packed.ref_end = empty
+            packed.read_len = empty
+            packed.qa_start = empty
+            packed.qa_end = empty
+            packed.has_hard_clip = np.zeros(0, dtype=bool)
+        return (SignatureSoA({t: b.finalize() for t, b in builders.items()},
+                             contigs_pool, reads_pool), [])
+
+    if dispatched is None:
+        dispatched = dispatch_collect_scan(packed, options)
+
+    # SA-tag parsing overlaps the in-flight device pass (same as the object
+    # path in signatures_from_packed)
+    supplementary = (packed.flag & FSUPPLEMENTARY) != 0
+    sa_parsed: Dict[int, List] = {}
+    present = getattr(sa_tags, "present_rows", None)
+    sa_rows = present().tolist() if present is not None else range(packed.n)
+    for row in sa_rows:
+        sa_tag = sa_tags[row]
+        if sa_tag is None or supplementary[row]:
+            continue
+        segments_supplementary = _parse_sa_segments(sa_tag, get_tid, options.min_mapq)
+        if segments_supplementary:
+            sa_parsed[row] = segments_supplementary
+
+    group_rows: List[int] = []
+    group_sa_segments: List[List] = []
+    fallback_rows: List[int] = []
+    for row, segments_supplementary in sa_parsed.items():
+        size = 1 + len(segments_supplementary)
+        if size > MAX_SEGMENTS:
+            if packed.records is not None:
+                fallback_rows.append(row)
+                continue
+            logging.warning("read %s has %d alignment segments; truncating to %d",
+                            packed.names[row], size, MAX_SEGMENTS)
+        group_rows.append(row)
+        group_sa_segments.append(segments_supplementary)
+
+    classify_outputs = None
+    if group_rows:
+        rerun, result, max_events = dispatched
+        classify_outputs = _dispatch_classify_fused(
+            packed, group_rows, group_sa_segments, result, options)
+
+    import jax
+
+    rerun, result, max_events = dispatched
+    if classify_outputs is not None:
+        fetched_collect, fetched_classify = jax.device_get(
+            (result, classify_outputs))
+    else:
+        fetched_collect = jax.device_get(result)
+        fetched_classify = None
+    events = _consume_collect(packed, rerun, max_events, fetched_collect)
+    _emit_indel_events_soa(packed, events, getrname, options, builders,
+                           contigs_pool, reads_pool, twin_rows)
+
+    # split-read signatures stay on the object emitters (sparse); they join
+    # the tables with row tags so ordering matches the object path
+    split_sigs: Dict[int, List] = {}
+    split_twins: Dict[int, List] = {}
+    for row in fallback_rows:
+        from svim_tpu.collect.collect import retrieve_other_alignments
+        from svim_tpu.collect.inter import analyze_read_segments
+        record = packed.records[row]
+        supplementary_records = [
+            aln for aln in retrieve_other_alignments(record, name_table)
+            if not aln.is_unmapped and aln.mapping_quality >= options.min_mapq]
+        sigs, twin_sigs = analyze_read_segments(record, supplementary_records,
+                                                name_table, options)
+        split_sigs.setdefault(row, []).extend(sigs)
+        split_twins.setdefault(row, []).extend(twin_sigs)
+    if fetched_classify is not None:
+        group_sizes = [min(1 + len(segs), MAX_SEGMENTS)
+                       for segs in group_sa_segments]
+        _emit_classified(group_rows, group_sizes, fetched_classify, packed,
+                         getrname, options, split_sigs, split_twins)
+    if split_sigs:
+        per_type: Dict[str, List] = {}
+        for row, sigs in split_sigs.items():
+            for sig in sigs:
+                per_type.setdefault(sig.type, []).append((row, sig))
+        for sig_type, tagged in per_type.items():
+            builders[sig_type].add_objects([tag for tag, _ in tagged],
+                                           [sig for _, sig in tagged])
+    for row, twin_list in split_twins.items():
+        for twin in twin_list:
+            twin_rows.append((row, twin))
+
+    twin_rows.sort(key=lambda pair: pair[0])
+    twins = [twin for _, twin in twin_rows]
+    return (SignatureSoA({t: b.finalize() for t, b in builders.items()},
+                         contigs_pool, reads_pool), twins)
 
 
 def signatures_from_packed(packed, sa_tags, name_table, options,

@@ -1,0 +1,111 @@
+"""Differential tests: struct-of-arrays signature tables vs the object path.
+
+The SoA path must reproduce the object path's per-type signature order and
+every materialized field exactly (sigtable.py parity contract)."""
+
+import random
+
+import pytest
+
+from svim_tpu.collect.packed import (
+    collect_signatures_from_bam,
+    collect_soa_from_bam,
+)
+from svim_tpu.io import bam as bamio
+from svim_tpu.io.sam import AlignmentFile, AlignmentHeader, parse_sam_line
+from svim_tpu.sigtable import SIG_TYPES, LazyMembers, soa_from_signatures
+
+from test_packed_collect import _random_sam
+
+
+def _sam_to_bam(sam_text, bam_path):
+    lines = sam_text.strip().split("\n")
+    header_text = "\n".join(line for line in lines if line.startswith("@")) + "\n"
+    header = AlignmentHeader.from_text(header_text)
+    records = [parse_sam_line(line, header)
+               for line in lines if not line.startswith("@")]
+    bamio.write_bam(str(bam_path), header, records)
+    return header, records
+
+
+@pytest.mark.parametrize("seed,all_bnds", [(1, False), (2, True), (5, True)])
+def test_soa_matches_object_path(tmp_path, default_options, seed, all_bnds):
+    rng = random.Random(seed)
+    bam_path = tmp_path / "random.bam"
+    _sam_to_bam(_random_sam(rng, all_split=(seed % 2 == 0)), bam_path)
+    options = default_options.replace(all_bnds=all_bnds)
+
+    _h, _t, object_sigs, object_twins = collect_signatures_from_bam(
+        str(bam_path), options)
+    _h2, _t2, soa, soa_twins = collect_soa_from_bam(str(bam_path), options)
+
+    assert soa.total() == len(object_sigs)
+    for sig_type in SIG_TYPES:
+        expected = [sig for sig in object_sigs if sig.type == sig_type]
+        table = soa.tables[sig_type]
+        assert table.n == len(expected)
+        got = table.materialize_list(range(table.n))
+        for want, have in zip(expected, got):
+            assert type(want) is type(have)
+            assert want.as_string() == have.as_string()
+            if sig_type == "INS":
+                assert want.sequence == have.sequence
+            if sig_type == "BND":
+                assert (want.direction1, want.direction2) == (
+                    have.direction1, have.direction2)
+        # column views must agree with the objects without materialization
+        for i, want in enumerate(expected):
+            assert int(table.start[i]) == want.get_source()[1]
+            assert int(table.end[i]) == want.get_source()[2]
+            assert table.contigs.names[int(table.contig_code[i])] == want.contig
+            assert table.reads.names[int(table.read_code[i])] == want.read
+    assert ([t.as_string() for t in object_twins]
+            == [t.as_string() for t in soa_twins])
+
+
+def test_soa_from_signatures_roundtrip(default_options, tmp_path):
+    rng = random.Random(7)
+    bam_path = tmp_path / "random.bam"
+    _sam_to_bam(_random_sam(rng), bam_path)
+    _h, _t, object_sigs, _tw = collect_signatures_from_bam(
+        str(bam_path), default_options)
+    soa = soa_from_signatures(object_sigs)
+    for sig_type in SIG_TYPES:
+        expected = [sig for sig in object_sigs if sig.type == sig_type]
+        table = soa.tables[sig_type]
+        got = table.materialize_list(range(table.n))
+        assert [sig.as_string() for sig in expected] == [
+            sig.as_string() for sig in got]
+
+
+def test_lazy_members_sequence_protocol():
+    from svim_tpu.signatures import SignatureDeletion
+
+    sigs = [SignatureDeletion("chr1", 100 + i, 200 + i, "cigar",
+                              "read{0}".format(i)) for i in range(4)]
+    soa = soa_from_signatures(sigs)
+    table = soa.tables["DEL"]
+    members = LazyMembers(table, [0, 2, 3])
+    assert len(members) == 3
+    assert members[0].as_string() == sigs[0].as_string()
+    assert [m.read for m in members] == ["read0", "read2", "read3"]
+    combined = members + [sigs[1]]
+    assert [m.read for m in combined] == ["read0", "read2", "read3", "read1"]
+    combined = [sigs[1]] + members
+    assert combined[0].read == "read1"
+
+
+def test_bnd_equal_positions_materialize_stable():
+    """pos1 == pos2 BNDs: the constructor's canonical swap must not re-fire
+    at materialization (directions would flip)."""
+    from svim_tpu.signatures import SignatureTranslocation
+
+    sig = SignatureTranslocation("chr1", 500, "fwd", "chr1", 500, "rev",
+                                 "suppl", "readX")
+    soa = soa_from_signatures([sig])
+    table = soa.tables["BND"]
+    table.objects.clear()  # force column materialization
+    rebuilt = table.materialize(0)
+    assert (rebuilt.direction1, rebuilt.direction2) == (
+        sig.direction1, sig.direction2)
+    assert rebuilt.as_string() == sig.as_string()
