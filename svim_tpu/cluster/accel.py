@@ -54,6 +54,57 @@ def _pair_key(first, second):
     return (id(first), id(second))
 
 
+def _source_columns(elements):
+    """(starts, ends) int64 arrays WITHOUT materializing Signature objects
+    when `elements` is a sigtable view (LazyMembers); object fallback
+    otherwise.  BND table rows store end = pos1 + 1, matching get_source()."""
+    table = getattr(elements, "table", None)
+    if table is not None:
+        indices = elements.indices
+        return table.start[indices], table.end[indices]
+    n = len(elements)
+    starts = np.fromiter((e.get_source()[1] for e in elements),
+                         dtype=np.int64, count=n)
+    ends = np.fromiter((e.get_source()[2] for e in elements),
+                       dtype=np.int64, count=n)
+    return starts, ends
+
+
+def _dest_start_column(elements):
+    """Destination start positions (DUP_INT pos / BND pos2) as int64."""
+    table = getattr(elements, "table", None)
+    if table is not None:
+        return table.pos2[elements.indices]
+    return np.fromiter((e.get_destination()[1] for e in elements),
+                       dtype=np.int64, count=len(elements))
+
+
+def _element_contig(elements):
+    """Contig name of the first element (partitions are single-contig)."""
+    table = getattr(elements, "table", None)
+    if table is not None:
+        return table.contigs.names[int(table.contig_code[elements.indices[0]])]
+    return elements[0].contig
+
+
+def _ins_sequence_bytes(elements):
+    """Upper-cased ASCII bytes of every element's inserted sequence,
+    concatenated, plus per-element lengths — one blob gather for table views
+    (no str objects), join of .sequence otherwise."""
+    table = getattr(elements, "table", None)
+    if table is not None:
+        indices = elements.indices
+        blob = table.seq_blob
+        offs = table.seq_off[indices]
+        lens = table.seq_len[indices]
+        joined = b"".join(blob[off:off + length]
+                          for off, length in zip(offs.tolist(), lens.tolist()))
+        return joined.upper(), lens
+    lens = np.fromiter((len(e.sequence) for e in elements), dtype=np.int64,
+                       count=len(elements))
+    return "".join(e.sequence for e in elements).upper().encode(), lens
+
+
 class InsEditCache:
     """Batched INS haplotype edit distances, queryable two ways: a scalar
     {(id(a), id(b)): distance} lookup (pair fast path), and per-partition
@@ -114,13 +165,13 @@ def precompute_ins_edit_distances(samples, reference, options):
     # per-partition pair enumeration (shared by both routes)
     prepared = []   # (sample, starts, pairs_i, pairs_j, hints)
     for sample in samples:
-        if len(sample) < 2 or sample[0].type != "INS":
+        if len(sample) < 2:
             continue
-        n = len(sample)
-        starts = np.fromiter((e.get_source()[1] for e in sample), dtype=np.int64,
-                             count=n)
-        spans = np.fromiter((e.get_source()[2] - e.get_source()[1] for e in sample),
-                            dtype=np.int64, count=n)
+        sample_type = getattr(sample, "type", None) or sample[0].type
+        if sample_type != "INS":
+            continue
+        starts, ends = _source_columns(sample)
+        spans = ends - starts
         position_distance = (np.abs(starts[:, None] - starts[None, :])
                              / options.position_distance_normalizer)
         pairs_i, pairs_j = np.nonzero(np.triu(position_distance <= gate, k=1))
@@ -144,15 +195,15 @@ def precompute_ins_edit_distances(samples, reference, options):
         hint_parts = []
         base = 0
         for w, (sample, starts, pairs_i, pairs_j, hints) in enumerate(prepared):
-            window = PartitionWindow(reference, sample[0].contig,
+            window = PartitionWindow(reference, _element_contig(sample),
                                      int(starts.min()), int(starts.max()))
             win_parts.append(window.sequence.encode())
             win_coords.append(window.offset)
-            # one join+upper+encode per partition (not per element): ASCII
-            # upper is per-character, so the bytes are identical
-            seq_parts.append("".join(e.sequence for e in sample).upper().encode())
-            seq_len_parts.append(np.fromiter((len(e.sequence) for e in sample),
-                                             dtype=np.int64, count=len(sample)))
+            # one blob gather / join+upper per partition (not per element):
+            # ASCII upper is per-character, so the bytes are identical
+            seq_bytes, seq_lens = _ins_sequence_bytes(sample)
+            seq_parts.append(seq_bytes)
+            seq_len_parts.append(seq_lens)
             elem_start_parts.append(starts)
             pair_a_parts.append(pairs_i.astype(np.int64) + base)
             pair_b_parts.append(pairs_j.astype(np.int64) + base)
@@ -252,8 +303,7 @@ def ins_pair_distance(first, second, reference, options, ed_cache=None):
 def distance_matrix(elements, element_type, reference, options, ed_cache=None):
     """Full pairwise span-position distance matrix (no same-read wall)."""
     n = len(elements)
-    starts = np.fromiter((e.get_source()[1] for e in elements), dtype=np.int64, count=n)
-    ends = np.fromiter((e.get_source()[2] for e in elements), dtype=np.int64, count=n)
+    starts, ends = _source_columns(elements)
 
     if element_type in ("DEL", "DUP_TAN", "INV"):
         position_distance, span_distance = _span_position_terms(
@@ -263,22 +313,25 @@ def distance_matrix(elements, element_type, reference, options, ed_cache=None):
     if element_type == "DUP_INT":
         position_distance, span_distance = _span_position_terms(
             starts, ends, options.position_distance_normalizer)
-        dest_starts = np.fromiter((e.get_destination()[1] for e in elements),
-                                  dtype=np.int64, count=n)
+        dest_starts = _dest_start_column(elements)
         dest_distance = (np.abs(dest_starts[:, None] - dest_starts[None, :])
                          / options.position_distance_normalizer)
         return position_distance + dest_distance + span_distance
 
     if element_type == "BND":
-        dest_starts = np.fromiter((e.get_destination()[1] for e in elements),
-                                  dtype=np.int64, count=n)
+        dest_starts = _dest_start_column(elements)
         dist1 = np.abs(starts[:, None] - starts[None, :])
         dist2 = np.abs(dest_starts[:, None] - dest_starts[None, :])
         matrix = (dist1 + dist2) / BND_NORMALIZER
-        dir1 = np.fromiter((0 if e.direction1 == "fwd" else 1 for e in elements),
-                           dtype=np.int8, count=n)
-        dir2 = np.fromiter((0 if e.direction2 == "fwd" else 1 for e in elements),
-                           dtype=np.int8, count=n)
+        table = getattr(elements, "table", None)
+        if table is not None:
+            dir1 = table.dir1[elements.indices]
+            dir2 = table.dir2[elements.indices]
+        else:
+            dir1 = np.fromiter((0 if e.direction1 == "fwd" else 1 for e in elements),
+                               dtype=np.int8, count=n)
+            dir2 = np.fromiter((0 if e.direction2 == "fwd" else 1 for e in elements),
+                               dtype=np.int8, count=n)
         mismatch = (dir1[:, None] != dir1[None, :]) | (dir2[:, None] != dir2[None, :])
         matrix[mismatch] = SAME_READ_WALL
         return matrix
@@ -340,6 +393,11 @@ def distance_matrix(elements, element_type, reference, options, ed_cache=None):
 
 def read_index_array(elements):
     """Integer read-identity column (same id <=> same read name)."""
+    table = getattr(elements, "table", None)
+    if table is not None:
+        # pool codes are already a read-identity equivalence (one code per
+        # interned name); consumers only compare for equality
+        return table.read_code[elements.indices].astype(np.int64)
     index_of = {}
     out = np.empty(len(elements), dtype=np.int64)
     for pos, element in enumerate(elements):

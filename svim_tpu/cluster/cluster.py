@@ -33,7 +33,7 @@ from svim_tpu.cluster.distance import (
     SAME_READ_WALL,
     span_position_distance,
 )
-from svim_tpu.cluster.partition import form_partitions
+from svim_tpu.cluster.partition import form_partitions, form_partitions_table
 from svim_tpu.io.fasta import FastaFile
 from svim_tpu.signatures import SignatureClusterBiLocal, SignatureClusterUniLocal
 
@@ -60,10 +60,20 @@ def _pairwise_condensed(elements, element_type, reference, options):
 
 
 def _group_by_labels(elements, labels):
+    if getattr(elements, "table", None) is not None:
+        label_array = np.asarray(labels)
+        return [elements.take(np.flatnonzero(label_array == label))
+                for label in range(1, int(label_array.max()) + 1)]
     groups = [[] for _ in range(max(labels))]
     for element, label in zip(elements, labels):
         groups[label - 1].append(element)
     return groups
+
+
+def _partition_type(partition) -> str:
+    """Signature type of a partition without materializing members."""
+    sig_type = getattr(partition, "type", None)
+    return sig_type if sig_type is not None else partition[0].type
 
 
 class _ClusterWork:
@@ -93,17 +103,24 @@ def dispatch_clusters_from_partitions(partitions, reference, options,
     work.partitions = partitions
     seed(RANDOM_SEED)
     # subsample oversized partitions upfront (same RNG consumption order as
-    # sampling inside the loop)
+    # sampling inside the loop).  Table views sample POSITIONS: random.sample
+    # draws depend only on (len, k), so sample(range(n), k) consumes the RNG
+    # identically to sample(partition, k) and picks the same positions in the
+    # same order — no member materializes.
     for partition in partitions:
         if len(partition) > MAX_PARTITION_SIZE:
-            work.samples.append(sample(partition, MAX_PARTITION_SIZE))
+            if getattr(partition, "table", None) is not None:
+                work.samples.append(partition.take(
+                    sample(range(len(partition)), MAX_PARTITION_SIZE)))
+            else:
+                work.samples.append(sample(partition, MAX_PARTITION_SIZE))
             work.large_partitions += 1
         else:
             work.samples.append(partition)
 
     # one batched edit-distance pass over every INS near pair of every
     # partition: feeds the device wavefront kernel a full workload at once
-    if partitions and partitions[0] and partitions[0][0].type == "INS":
+    if partitions and partitions[0] and _partition_type(partitions[0]) == "INS":
         work.ed_cache = accel.precompute_ins_edit_distances(
             [s for s in work.samples if len(s) >= 2], reference, options)
 
@@ -116,7 +133,7 @@ def dispatch_clusters_from_partitions(partitions, reference, options,
             DEVICE_TYPES,
             dispatch_partitions_device,
         )
-        element_type = partitions[0][0].type
+        element_type = _partition_type(partitions[0])
         if element_type in DEVICE_TYPES:
             work.eligible = [(index, sample_list)
                              for index, sample_list in enumerate(work.samples)
@@ -153,7 +170,10 @@ def finish_clusters_from_partitions(work, reference, options, fetched=None):
         if len(partition_sample) == 1:
             # singleton partitions skip dedup and linkage entirely (the
             # reference reaches the same single cluster through the full path)
-            clusters_final.append([partition_sample[0]])
+            if getattr(partition_sample, "table", None) is not None:
+                clusters_final.append(partition_sample)
+            else:
+                clusters_final.append([partition_sample[0]])
             continue
         device_result = device_results.get(partition_index)
         if device_result is not None and device_result.clusters is not None:
@@ -162,7 +182,7 @@ def finish_clusters_from_partitions(work, reference, options, fetched=None):
             continue
         # device_result.clusters is None => float32 could not safely
         # arbitrate this partition; run the exact float64 host path
-        element_type = partition_sample[0].type
+        element_type = _partition_type(partition_sample)
         assert element_type in ("DEL", "DUP_TAN", "INV", "INS", "DUP_INT", "BND")
 
         if len(partition_sample) == 2:
@@ -209,14 +229,20 @@ def finish_clusters_from_partitions(work, reference, options, fetched=None):
             if duplicates_from_same_read:
                 keep = [i for i in range(len(partition_sample))
                         if i not in duplicates_from_same_read]
-                deduplicated = [partition_sample[i] for i in keep]
+                if getattr(partition_sample, "table", None) is not None:
+                    deduplicated = partition_sample.take(keep)
+                else:
+                    deduplicated = [partition_sample[i] for i in keep]
                 matrix = matrix[np.ix_(keep, keep)]
                 reads = reads[keep]
             else:
                 deduplicated = partition_sample
 
         if len(deduplicated) == 1:
-            clusters_final.append([deduplicated[0]])
+            if getattr(deduplicated, "table", None) is not None:
+                clusters_final.append(deduplicated)
+            else:
+                clusters_final.append([deduplicated[0]])
             continue
 
         distances = accel.condensed_with_wall(matrix, reads,
@@ -225,12 +251,13 @@ def finish_clusters_from_partitions(work, reference, options, fetched=None):
         labels = list(fcluster_distance(dendrogram, options.cluster_max_distance))
         clusters_final.extend(_group_by_labels(deduplicated, labels))
     if partitions and partitions[0]:
+        partition_type = _partition_type(partitions[0])
         logging.debug("%d out of %d partitions for %s exceeded %d elements.",
-                      large_partitions, len(partitions), partitions[0][0].type,
+                      large_partitions, len(partitions), partition_type,
                       MAX_PARTITION_SIZE)
         logging.debug("%d %s signatures were removed due to similarity to another "
                       "signature from the same read.",
-                      duplicate_signatures, partitions[0][0].type)
+                      duplicate_signatures, partition_type)
     return clusters_final
 
 
@@ -252,9 +279,18 @@ def calculate_score(cluster, std_span, std_pos, span, type):
         pos_deviation_score = 1 - min(1, std_pos / span)
 
     if type == "INV":
-        left = sum(1 for sig in cluster if sig.direction in ("left_fwd", "left_rev"))
-        right = sum(1 for sig in cluster if sig.direction in ("right_fwd", "right_rev"))
-        both = sum(1 for sig in cluster if sig.direction == "all")
+        table = getattr(cluster, "table", None)
+        if table is not None:
+            # direction codes follow sigtable.INV_DIRECTIONS: left_fwd=0,
+            # left_rev=1, right_fwd=2, right_rev=3, all=4
+            codes = table.direction[cluster.indices]
+            left = int((codes <= 1).sum())
+            right = int(((codes == 2) | (codes == 3)).sum())
+            both = int((codes == 4).sum())
+        else:
+            left = sum(1 for sig in cluster if sig.direction in ("left_fwd", "left_rev"))
+            right = sum(1 for sig in cluster if sig.direction in ("right_fwd", "right_rev"))
+            both = sum(1 for sig in cluster if sig.direction == "all")
         valid_signatures = min(left, right) + both
         num_signatures = min(SUPPORT_CAP, valid_signatures)
     else:
@@ -268,17 +304,59 @@ def _location_stats(locations):
     """(mean start, mean end, std span, std pos) over (start, end) pairs."""
     starts = [start for start, _ in locations]
     ends = [end for _, end in locations]
-    average_start = sum(starts) / len(starts)
-    average_end = sum(ends) / len(ends)
-    if len(locations) > 1:
+    return _location_stats_arrays(starts, ends)
+
+
+def _location_stats_arrays(starts, ends):
+    """_location_stats over parallel start/end sequences (columns or lists).
+    Sums and stdevs go through exact integer arithmetic either way, so the
+    floats equal the object path's bit-for-bit."""
+    n = len(starts)
+    if isinstance(starts, np.ndarray):
+        total_start = int(starts.sum())
+        total_end = int(ends.sum())
+    else:
+        total_start = sum(starts)
+        total_end = sum(ends)
+    average_start = total_start / n
+    average_end = total_end / n
+    if n > 1:
         # bit-identical statistics.stdev over the integer spans / half-integer
         # centers, via exact integer arithmetic (utils/exactstats.py)
-        std_span = stdev_ints([end - start for start, end in locations])
-        std_pos = stdev_half_ints([start + end for start, end in locations])
+        spans = np.asarray(ends, dtype=np.int64) - np.asarray(starts, dtype=np.int64)
+        doubled_centers = (np.asarray(starts, dtype=np.int64)
+                           + np.asarray(ends, dtype=np.int64))
+        std_span = stdev_ints(spans.tolist())
+        std_pos = stdev_half_ints(doubled_centers.tolist())
     else:
         std_span = None
         std_pos = None
     return average_start, average_end, std_span, std_pos
+
+
+def _cluster_source_columns(cluster):
+    """(starts, ends) of every member's source locus — column slices for
+    table views, get_source loops otherwise."""
+    table = getattr(cluster, "table", None)
+    if table is not None:
+        indices = cluster.indices
+        return table.start[indices], table.end[indices]
+    return ([member.get_source()[1] for member in cluster],
+            [member.get_source()[2] for member in cluster])
+
+
+def _cluster_contig(cluster):
+    table = getattr(cluster, "table", None)
+    if table is not None:
+        return table.contigs.names[int(table.contig_code[cluster.indices[0]])]
+    return cluster[0].get_source()[0]
+
+
+def _cluster_dest_contig(cluster):
+    table = getattr(cluster, "table", None)
+    if table is not None:
+        return table.contigs.names[int(table.contig2_code[cluster.indices[0]])]
+    return cluster[0].get_destination()[0]
 
 
 def consolidate_clusters_unilocal(clusters):
@@ -286,13 +364,15 @@ def consolidate_clusters_unilocal(clusters):
     (reference: SVIM_clustering.py:214-228)."""
     consolidated_clusters = []
     for cluster in clusters:
-        average_start, average_end, std_span, std_pos = _location_stats(
-            [(member.get_source()[1], member.get_source()[2]) for member in cluster])
+        starts, ends = _cluster_source_columns(cluster)
+        average_start, average_end, std_span, std_pos = _location_stats_arrays(
+            starts, ends)
+        cluster_type = _partition_type(cluster)
         score = calculate_score(cluster, std_span, std_pos,
-                                average_end - average_start, cluster[0].type)
+                                average_end - average_start, cluster_type)
         consolidated_clusters.append(SignatureClusterUniLocal(
-            cluster[0].get_source()[0], int(round(average_start)), int(round(average_end)),
-            score, len(cluster), cluster, cluster[0].type, std_span, std_pos))
+            _cluster_contig(cluster), int(round(average_start)), int(round(average_end)),
+            score, len(cluster), cluster, cluster_type, std_span, std_pos))
     return consolidated_clusters
 
 
@@ -301,25 +381,39 @@ def consolidate_clusters_bilocal(clusters):
     (reference: SVIM_clustering.py:231-303)."""
     consolidated_clusters = []
     for cluster in clusters:
-        cluster_type = cluster[0].type
-        source_start, source_end, source_std_span, source_std_pos = _location_stats(
-            [(member.get_source()[1], member.get_source()[2]) for member in cluster])
+        cluster_type = _partition_type(cluster)
+        starts, ends = _cluster_source_columns(cluster)
+        source_start, source_end, source_std_span, source_std_pos = \
+            _location_stats_arrays(starts, ends)
+        table = getattr(cluster, "table", None)
 
         if cluster_type == "DUP_TAN":
-            max_copies = max(member.copies for member in cluster)
+            if table is not None:
+                max_copies = int(table.copies[cluster.indices].max())
+            else:
+                max_copies = max(member.copies for member in cluster)
             score = calculate_score(cluster, source_std_span, source_std_pos,
                                     source_end - source_start, cluster_type)
             rounded_start = int(round(source_start))
             rounded_end = int(round(source_end))
+            source_contig = _cluster_contig(cluster)
             consolidated_clusters.append(SignatureClusterBiLocal(
-                cluster[0].get_source()[0], rounded_start, rounded_end,
-                cluster[0].get_source()[0], rounded_end,
+                source_contig, rounded_start, rounded_end,
+                source_contig, rounded_end,
                 rounded_end + max_copies * (rounded_end - rounded_start),
                 score, len(cluster), cluster, cluster_type,
                 source_std_span, source_std_pos))
         elif cluster_type == "DUP_INT":
-            dest_start, dest_end, dest_std_span, dest_std_pos = _location_stats(
-                [(member.get_destination()[1], member.get_destination()[2]) for member in cluster])
+            if table is not None:
+                # get_destination() = (contig2, pos, pos + source span)
+                indices = cluster.indices
+                dest_starts = table.pos2[indices]
+                dest_ends = dest_starts + (ends - starts)
+            else:
+                dest_starts = [member.get_destination()[1] for member in cluster]
+                dest_ends = [member.get_destination()[2] for member in cluster]
+            dest_start, dest_end, dest_std_span, dest_std_pos = \
+                _location_stats_arrays(dest_starts, dest_ends)
             if None in (source_std_span, source_std_pos, dest_std_span, dest_std_pos):
                 combined_std_span, combined_std_pos = None, None
             else:
@@ -329,15 +423,27 @@ def consolidate_clusters_bilocal(clusters):
                 cluster, combined_std_span, combined_std_pos,
                 mean([source_end - source_start, dest_end - dest_start]), cluster_type)
             consolidated_clusters.append(SignatureClusterBiLocal(
-                cluster[0].get_source()[0], int(round(source_start)), int(round(source_end)),
-                cluster[0].get_destination()[0], int(round(dest_start)), int(round(dest_end)),
+                _cluster_contig(cluster), int(round(source_start)), int(round(source_end)),
+                _cluster_dest_contig(cluster), int(round(dest_start)), int(round(dest_end)),
                 score, len(cluster), cluster, cluster_type,
                 combined_std_span, combined_std_pos))
         elif cluster_type == "BND":
-            dest_start, dest_end, _dest_std_span, dest_std_pos = _location_stats(
-                [(member.get_destination()[1], member.get_destination()[2]) for member in cluster])
-            directions1 = set(member.direction1 for member in cluster)
-            directions2 = set(member.direction2 for member in cluster)
+            if table is not None:
+                # get_destination() = (contig2, pos2, pos2 + 1)
+                indices = cluster.indices
+                dest_starts = table.pos2[indices]
+                dest_ends = dest_starts + 1
+                directions1 = set("rev" if rev else "fwd"
+                                  for rev in np.unique(table.dir1[indices]))
+                directions2 = set("rev" if rev else "fwd"
+                                  for rev in np.unique(table.dir2[indices]))
+            else:
+                dest_starts = [member.get_destination()[1] for member in cluster]
+                dest_ends = [member.get_destination()[2] for member in cluster]
+                directions1 = set(member.direction1 for member in cluster)
+                directions2 = set(member.direction2 for member in cluster)
+            dest_start, dest_end, _dest_std_span, dest_std_pos = \
+                _location_stats_arrays(dest_starts, dest_ends)
             assert len(directions1) == 1 and len(directions2) == 1
             if source_std_pos is None or dest_std_pos is None:
                 std_first, std_second = None, None
@@ -346,8 +452,8 @@ def consolidate_clusters_bilocal(clusters):
             # BND scores use a constant 500 bp span (SVIM_clustering.py:293,297)
             score = calculate_score(cluster, std_first, std_second, 500, cluster_type)
             new_cluster = SignatureClusterBiLocal(
-                cluster[0].get_source()[0], int(round(source_start)), int(round(source_end)),
-                cluster[0].get_destination()[0], int(round(dest_start)), int(round(dest_end)),
+                _cluster_contig(cluster), int(round(source_start)), int(round(source_end)),
+                _cluster_dest_contig(cluster), int(round(dest_start)), int(round(dest_end)),
                 score, len(cluster), cluster, cluster_type, std_first, std_second)
             new_cluster.direction1 = directions1.pop()
             new_cluster.direction2 = directions2.pop()
@@ -454,6 +560,12 @@ def partition_and_cluster_candidates(candidates, options, type):
 def cluster_sv_signatures(sv_signatures, options):
     """Split signatures by type and cluster each (reference: SVIM_CLUSTER.py:7-26).
 
+    `sv_signatures` is either a flat Signature list (object path) or a
+    SignatureSoA (struct-of-arrays path): tables partition/sample/cluster on
+    their columns and members materialize lazily only when COMBINE or a
+    writer touches them — the cluster records are identical either way
+    (tests/test_soa.py).
+
     All six types' device agglomerations are DISPATCHED before any result is
     awaited (fused coordinate types first — their host prep is cheap — then
     the matrix types), so the per-call device latency overlaps across types
@@ -462,9 +574,13 @@ def cluster_sv_signatures(sv_signatures, options):
 
     Returns (deletion, insertion, inversion, tandem_duplication,
     insertion_from, translocation) cluster lists."""
+    from svim_tpu.sigtable import SignatureSoA
+
+    soa = sv_signatures if isinstance(sv_signatures, SignatureSoA) else None
     by_type = {key: [] for key in ("DEL", "INS", "INV", "DUP_TAN", "BND", "DUP_INT")}
-    for signature in sv_signatures:
-        by_type[signature.type].append(signature)
+    if soa is None:
+        for signature in sv_signatures:
+            by_type[signature.type].append(signature)
 
     labels = {
         "DEL": "deleted regions",
@@ -488,8 +604,14 @@ def cluster_sv_signatures(sv_signatures, options):
         batcher = DeviceBatcher(options)
         staged = {}
         for key in dispatch_order:
-            partitions = form_partitions(by_type[key],
-                                         options.partition_max_distance)
+            if soa is not None:
+                table = soa.tables.get(key)
+                partitions = (form_partitions_table(
+                    table, options.partition_max_distance)
+                    if table is not None else [])
+            else:
+                partitions = form_partitions(by_type[key],
+                                             options.partition_max_distance)
             staged[key] = (partitions, dispatch_clusters_from_partitions(
                 partitions, reference, options, batcher=batcher))
         outputs = batcher.device_outputs()

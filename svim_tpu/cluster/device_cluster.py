@@ -106,7 +106,13 @@ def labels_from_merges(merge_lo, merge_hi, heights, n_survivors: int,
 
 def _group_survivors(survivors, labels):
     """Group surviving elements by fcluster label (same regrouping as the
-    host path's _group_by_labels)."""
+    host path's _group_by_labels).  Table views group by index — member
+    order within each group is ascending position, identical to the append
+    order of the object path."""
+    if getattr(survivors, "table", None) is not None:
+        labels = np.asarray(labels)
+        return [survivors.take(np.flatnonzero(labels == label))
+                for label in range(1, int(labels.max()) + 1)]
     groups = [[] for _ in range(int(max(labels)))]
     for element, label in zip(survivors, labels):
         groups[int(label) - 1].append(element)
@@ -152,8 +158,9 @@ class DeviceBatcher:
         # across rows of padding; keep padding invalid instead
         reads = np.full(pad, -1, dtype=np.int32)
         valid = np.zeros(pad, dtype=bool)
-        starts[:n] = [e.get_source()[1] for e in sample]
-        ends[:n] = [e.get_source()[2] for e in sample]
+        sample_starts, sample_ends = accel._source_columns(sample)
+        starts[:n] = sample_starts
+        ends[:n] = sample_ends
         reads[:n] = accel.read_index_array(sample)
         valid[:n] = True
         rows = self.fused_rows.setdefault(pad, [])
@@ -262,7 +269,10 @@ def _consume_fused(pending, fetched):
             results[index] = DeviceClusterResult(None, 0)
             continue
         drop_mask = dropped[row, :n]
-        survivors = [sample[i] for i in range(n) if not drop_mask[i]]
+        if getattr(sample, "table", None) is not None:
+            survivors = sample.take(np.flatnonzero(~drop_mask))
+        else:
+            survivors = [sample[i] for i in range(n) if not drop_mask[i]]
         # kernel merges reference slot indices; scipy ids need survivor
         # ranks (dropped slots leave gaps in the fused route)
         slot_rank = np.cumsum(~dropped[row]) - 1
@@ -313,7 +323,10 @@ def _dispatch_matrix(samples, element_type, reference, options, ed_cache,
             dropped_count = len(drop)
             if drop:
                 keep = [i for i in range(len(sample)) if i not in drop]
-                survivors = [sample[i] for i in keep]
+                if getattr(sample, "table", None) is not None:
+                    survivors = sample.take(keep)
+                else:
+                    survivors = [sample[i] for i in keep]
                 matrix = matrix[np.ix_(keep, keep)]
                 reads = reads[keep]
             if len(survivors) > 1:
@@ -324,7 +337,11 @@ def _dispatch_matrix(samples, element_type, reference, options, ed_cache,
                         matrix, reads, survivors, threshold, True), dropped_count)
                     continue
         if len(survivors) == 1:
-            fallback[index] = DeviceClusterResult([[survivors[0]]], dropped_count)
+            if getattr(survivors, "table", None) is not None:
+                fallback[index] = DeviceClusterResult([survivors], dropped_count)
+            else:
+                fallback[index] = DeviceClusterResult([[survivors[0]]],
+                                                      dropped_count)
             continue
         off_diagonal = ~np.eye(len(survivors), dtype=bool)
         if (matrix[off_diagonal] >= SAME_READ_WALL).any():

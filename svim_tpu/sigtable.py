@@ -174,14 +174,33 @@ class SignatureTable:
 
 
 class LazyMembers:
-    """Sequence view over a cluster's member rows; materializes Signature
-    objects only when iterated/indexed (COMBINE, BED/VCF writers)."""
+    """Sequence view over signature rows; materializes Signature objects only
+    when iterated/indexed (COMBINE, BED/VCF writers).
+
+    Doubles as the CLUSTER stage's partition container: partitioning,
+    subsampling, distance matrices, and device dispatch read the columns
+    through `.table`/`.indices` (cluster/accel.py fast paths) and derive
+    sub-views with `take()`, so no Signature object exists until a consumer
+    actually touches a member."""
 
     __slots__ = ("table", "indices")
 
     def __init__(self, table: SignatureTable, indices):
         self.table = table
-        self.indices = indices
+        self.indices = np.asarray(indices, dtype=np.int64)
+
+    @property
+    def type(self) -> str:
+        return self.table.type
+
+    def take(self, positions) -> "LazyMembers":
+        """Sub-view at the given positions (within this view), in order."""
+        return LazyMembers(self.table,
+                           self.indices[np.asarray(positions, dtype=np.int64)])
+
+    def column(self, name: str) -> np.ndarray:
+        """This view's slice of a table column."""
+        return getattr(self.table, name)[self.indices]
 
     def __len__(self):
         return len(self.indices)

@@ -95,6 +95,70 @@ def test_lazy_members_sequence_protocol():
     assert combined[0].read == "read1"
 
 
+@pytest.mark.parametrize("seed", [3, 11])
+def test_form_partitions_table_matches_object_path(tmp_path, default_options,
+                                                   seed):
+    """Column-wise partitioning: identical boundaries and member order."""
+    from svim_tpu.cluster.partition import form_partitions, form_partitions_table
+
+    rng = random.Random(seed)
+    bam_path = tmp_path / "random.bam"
+    _sam_to_bam(_random_sam(rng, all_split=(seed % 2 == 1)), bam_path)
+    options = default_options.replace(all_bnds=True)
+    _h, _t, object_sigs, _tw = collect_signatures_from_bam(str(bam_path),
+                                                           options)
+    _h2, _t2, soa, _tw2 = collect_soa_from_bam(str(bam_path), options)
+    for sig_type in SIG_TYPES:
+        expected = form_partitions(
+            [sig for sig in object_sigs if sig.type == sig_type],
+            options.partition_max_distance)
+        got = form_partitions_table(soa.tables[sig_type],
+                                    options.partition_max_distance)
+        assert len(got) == len(expected)
+        for want, have in zip(expected, got):
+            assert ([sig.as_string() for sig in want]
+                    == [sig.as_string() for sig in have])
+
+
+def _flatten_cluster(cluster):
+    destination = (cluster.get_destination()
+                   if hasattr(cluster, "get_destination") else None)
+    return (cluster.type, cluster.get_source(), destination,
+            cluster.score, cluster.size, cluster.std_span, cluster.std_pos,
+            [member.as_string() for member in cluster.members],
+            getattr(cluster, "direction1", None),
+            getattr(cluster, "direction2", None))
+
+
+@pytest.mark.parametrize("seed,backend", [(4, "device"), (9, "exact")])
+def test_cluster_soa_matches_object_path(tmp_path, default_options, seed,
+                                         backend):
+    """Full CLUSTER stage over tables == over objects, record for record."""
+    from svim_tpu.cluster import cluster_sv_signatures
+
+    rng = random.Random(seed)
+    bam_path = tmp_path / "random.bam"
+    _sam_to_bam(_random_sam(rng, all_split=(seed % 2 == 0)), bam_path)
+    genome = tmp_path / "genome_full.fa"
+    genome_rng = random.Random(99)
+    with open(genome, "w") as handle:
+        for contig in ("chr1", "chr2"):
+            handle.write(">" + contig + "\n")
+            handle.write("".join(genome_rng.choice("ACGT")
+                                 for _ in range(600000)) + "\n")
+    options = default_options.replace(genome=str(genome),
+                                      cluster_backend=backend)
+    _h, _t, object_sigs, _tw = collect_signatures_from_bam(str(bam_path),
+                                                           options)
+    _h2, _t2, soa, _tw2 = collect_soa_from_bam(str(bam_path), options)
+
+    object_clusters = cluster_sv_signatures(object_sigs, options)
+    soa_clusters = cluster_sv_signatures(soa, options)
+    for want_list, have_list in zip(object_clusters, soa_clusters):
+        assert ([_flatten_cluster(c) for c in want_list]
+                == [_flatten_cluster(c) for c in have_list])
+
+
 def test_bnd_equal_positions_materialize_stable():
     """pos1 == pos2 BNDs: the constructor's canonical swap must not re-fire
     at materialization (directions would flip)."""
