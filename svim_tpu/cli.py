@@ -40,14 +40,30 @@ def _device_description():
         return "unknown device"
 
 
+def _process_count():
+    from svim_tpu.parallel.multihost import process_count
+    return process_count()
+
+
+def _process_index(options) -> int:
+    if not getattr(options, "distributed", False):
+        return 0
+    from svim_tpu.parallel.multihost import process_index
+    return process_index()
+
+
 def _setup_logging(options):
     log_formatter = logging.Formatter("%(asctime)s [%(levelname)-7.7s]  %(message)s")
     root_logger = logging.getLogger()
     root_logger.setLevel(logging.DEBUG if options.verbose else logging.INFO)
     os.makedirs(options.working_dir, exist_ok=True)
+    rank_suffix = ""
+    if getattr(options, "distributed", False):
+        rank_suffix = ".p{0}".format(_process_index(options))
     file_handler = logging.FileHandler(
         os.path.join(options.working_dir,
-                     "SVIM_{0}.log".format(strftime("%y%m%d_%H%M%S", localtime()))),
+                     "SVIM_{0}{1}.log".format(strftime("%y%m%d_%H%M%S", localtime()),
+                                              rank_suffix)),
         mode="w")
     file_handler.setFormatter(log_formatter)
     root_logger.addHandler(file_handler)
@@ -101,6 +117,16 @@ def _collect(options):
     logging.info("INPUT: {0}".format(os.path.abspath(options.bam_file)))
     with open(options.bam_file, "rb") as probe:
         is_bgzf = probe.read(2) == b"\x1f\x8b"
+    if options.distributed:
+        if not is_bgzf:
+            logging.error("--distributed requires a coordinate-sorted BGZF BAM "
+                          "input (byte-range ingestion).")
+            return None
+        from svim_tpu.parallel.multihost import collect_distributed
+        merged_index, sigs, trans = collect_distributed(options)
+        logging.info("Distributed COLLECT merged {0} signatures across {1} "
+                     "processes".format(len(sigs), _process_count()))
+        return merged_index, sigs, trans, options
     if is_bgzf and options.device_backend != "host":
         # cheap sort-order peek, then the packed scanner + device kernels for
         # coordinate-sorted BAM
@@ -195,15 +221,20 @@ def run_pipeline(options):
                 translocation_signatures_all_bnds, options)
             root_logger.setLevel(logging.DEBUG if options.verbose else logging.INFO)
 
+    # in distributed runs every process computes the full pipeline (the
+    # stages after the exchange are deterministic); only process 0 writes
+    primary = _process_index(options) == 0
+
     logging.info("Finished clustering. Writing signature clusters..")
-    if options.all_bnds:
-        all_signature_clusters = signature_clusters[:5] + (
-            signature_clusters[5] + translocation_clusters_all_bnds[5],)
-        write_signature_clusters_bed(options.working_dir, all_signature_clusters)
-        write_signature_clusters_vcf(options.working_dir, all_signature_clusters, __version__)
-    else:
-        write_signature_clusters_bed(options.working_dir, signature_clusters)
-        write_signature_clusters_vcf(options.working_dir, signature_clusters, __version__)
+    if primary:
+        if options.all_bnds:
+            all_signature_clusters = signature_clusters[:5] + (
+                signature_clusters[5] + translocation_clusters_all_bnds[5],)
+            write_signature_clusters_bed(options.working_dir, all_signature_clusters)
+            write_signature_clusters_vcf(options.working_dir, all_signature_clusters, __version__)
+        else:
+            write_signature_clusters_bed(options.working_dir, signature_clusters)
+            write_signature_clusters_vcf(options.working_dir, signature_clusters, __version__)
 
     logging.info("****************** STEP 3: COMBINE ******************")
     with timer.stage("combine"):
@@ -229,9 +260,10 @@ def run_pipeline(options):
             (int_duplication_candidates, "DUP_INT", "interspersed duplications"),
         )
         with timer.stage("genotype"):
-            if isinstance(aln_file, PackedAlignmentIndex):
-                # vectorized interval join over the packed table: all four
-                # types genotype in ONE device kernel invocation
+            if isinstance(aln_file, PackedAlignmentIndex) or hasattr(aln_file, "packed"):
+                # vectorized interval join over the packed table (single-host
+                # PackedAlignmentIndex or the distributed MergedAlignmentIndex):
+                # all four types genotype in ONE device kernel invocation
                 genotype_packed_multi(genotype_groups, aln_file.packed,
                                       aln_file.header, options)
             else:
@@ -254,26 +286,28 @@ def run_pipeline(options):
     all_breakends = breakend_candidates + breakend_candidates_all_bnds
 
     with timer.stage("output"):
-        write_candidates(options.working_dir,
-                         (int_duplication_candidates, inversion_candidates,
-                          tan_dup_candidates, deletion_candidates,
-                          novel_insertion_candidates, all_breakends))
-        write_final_vcf(int_duplication_candidates, inversion_candidates,
-                        tan_dup_candidates, deletion_candidates,
-                        novel_insertion_candidates, all_breakends, __version__,
-                        aln_file.references, aln_file.lengths,
-                        options.types_to_output, options)
+        if primary:
+            write_candidates(options.working_dir,
+                             (int_duplication_candidates, inversion_candidates,
+                              tan_dup_candidates, deletion_candidates,
+                              novel_insertion_candidates, all_breakends))
+            write_final_vcf(int_duplication_candidates, inversion_candidates,
+                            tan_dup_candidates, deletion_candidates,
+                            novel_insertion_candidates, all_breakends, __version__,
+                            aln_file.references, aln_file.lengths,
+                            options.types_to_output, options)
 
     logging.info("Draw plots..")
     root_logger.setLevel(logging.WARNING)
     with timer.stage("plots"):
-        plot_sv_lengths(deletion_candidates, inversion_candidates,
-                        int_duplication_candidates, tan_dup_candidates,
-                        novel_insertion_candidates, options)
-        if not options.skip_genotyping:
-            plot_sv_alleles(deletion_candidates + inversion_candidates
-                            + int_duplication_candidates + novel_insertion_candidates,
-                            options)
+        if primary:
+            plot_sv_lengths(deletion_candidates, inversion_candidates,
+                            int_duplication_candidates, tan_dup_candidates,
+                            novel_insertion_candidates, options)
+            if not options.skip_genotyping:
+                plot_sv_alleles(deletion_candidates + inversion_candidates
+                                + int_duplication_candidates + novel_insertion_candidates,
+                                options)
     root_logger.setLevel(logging.DEBUG if options.verbose else logging.INFO)
     timer.report()
     logging.info("Done.")
@@ -288,6 +322,10 @@ def main(arguments=None):
         return 1
     from svim_tpu.utils.device import select_backend
     select_backend(options.device_backend)
+    if options.distributed:
+        # must run before the first jax computation creates backends
+        from svim_tpu.parallel.multihost import initialize_from_env
+        initialize_from_env()
     _setup_logging(options)
     logging.info("****************** Start svim-tpu, version {0} ******************".format(
         __version__))

@@ -85,6 +85,8 @@ class Config:
     batch_reads: int = 4096            # reads per packed device batch
     stream_input: bool = False         # force the bounded-memory streaming scanner
     profile: bool = False              # emit jax.profiler traces per stage
+    distributed: bool = False          # multi-process run (jax.distributed via
+                                       # SVIM_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID)
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
@@ -188,6 +190,13 @@ def _add_common_options(parser: argparse.ArgumentParser) -> None:
                                 "default: %(default)s).")
     execution.add_argument("--profile", action="store_true",
                            help="Emit per-stage timing and jax profiler traces (default: %(default)s).")
+    execution.add_argument("--distributed", action="store_true",
+                           help="Run as one process of a multi-host job: initialize "
+                                "jax.distributed from SVIM_COORDINATOR / "
+                                "SVIM_NUM_PROCESSES / SVIM_PROCESS_ID, ingest this "
+                                "process's BAM block range, exchange signature tables "
+                                "over the mesh; only process 0 writes outputs "
+                                "(default: %(default)s).")
 
 
 def parse_arguments(program_version: str = "2.0.0", arguments=None) -> Config:

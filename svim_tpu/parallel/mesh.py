@@ -48,6 +48,35 @@ def make_mesh(n_devices: int = None) -> Mesh:
     return Mesh(np.asarray(devices), axis_names=("data",))
 
 
+def put_global(mesh: Mesh, spec, array):
+    """Place a host array (identical on every process) onto a mesh sharding.
+
+    jax.device_put cannot target non-addressable devices, so multi-process
+    meshes go through make_array_from_callback: each process materializes
+    only the shards its local devices own."""
+    array = np.asarray(array)
+    sharding = NamedSharding(mesh, spec)
+    if all(d.process_index == jax.process_index() for d in mesh.devices.flat):
+        return jax.device_put(array, sharding)
+    return jax.make_array_from_callback(array.shape, sharding,
+                                        lambda index: array[index])
+
+
+def fetch_replicated(*arrays):
+    """device_get that works for cross-process sharded outputs: reshard each
+    array to fully-replicated (an all_gather) before fetching."""
+    out = []
+    for array in arrays:
+        sharding = getattr(array, "sharding", None)
+        if (sharding is not None and hasattr(array, "is_fully_addressable")
+                and not array.is_fully_addressable):
+            mesh = sharding.mesh
+            array = jax.jit(lambda x: x,
+                            out_shardings=NamedSharding(mesh, P()))(array)
+        out.append(np.asarray(jax.device_get(array)))
+    return out if len(out) > 1 else out[0]
+
+
 def shard_batch(num_shards: int, *arrays):
     """Lay batch-leading arrays out over a 'data' mesh (leading axis sharded)
     so jit/GSPMD splits the batched kernels across devices.  Falls back to
@@ -59,8 +88,7 @@ def shard_batch(num_shards: int, *arrays):
         return arrays if len(arrays) > 1 else arrays[0]
     mesh = make_mesh(num_shards)
     out = tuple(
-        jax.device_put(array, NamedSharding(
-            mesh, P(*(("data",) + (None,) * (array.ndim - 1)))))
+        put_global(mesh, P(*(("data",) + (None,) * (array.ndim - 1))), array)
         for array in arrays)
     return out if len(out) > 1 else out[0]
 
@@ -167,6 +195,16 @@ def run_collect_step(mesh: Mesh, cigar_words, ref_start, ref_end, loci,
     if rows_total % n_shards != 0:
         raise ValueError("rows ({0}) must divide over {1} shards — pad the "
                          "batch first".format(rows_total, n_shards))
+    # multi-process meshes need explicit global-array placement (every
+    # process passes the same host arrays; each materializes its shards)
+    multiprocess = any(d.process_index != jax.process_index()
+                       for d in mesh.devices.flat)
+    if multiprocess:
+        data = P("data")
+        cigar_words = put_global(mesh, P("data", None), cigar_words)
+        ref_start = put_global(mesh, data, ref_start)
+        ref_end = put_global(mesh, data, ref_end)
+        loci = put_global(mesh, P(), loci)
     while True:
         key = (id(mesh), min_sv_size, events_per_shard)
         step = _step_cache.get(key)
