@@ -203,15 +203,15 @@ def _array_measurement(tmp_dir, bam_path, genome_path):
     options = parse_arguments(arguments=["alignment", tmp_dir, bam_path, genome_path])
 
     import jax
-    from svim_tpu.collect.packed import collect_signatures_from_bam
+    from svim_tpu.collect.packed import collect_soa_from_bam
 
     platform = jax.devices()[0].platform
     # warmup (compile)
-    collect_signatures_from_bam(bam_path, options)
+    collect_soa_from_bam(bam_path, options)
     best = float("inf")
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        _header, _packed, signatures, _twins = collect_signatures_from_bam(bam_path, options)
+        _header, _packed, signatures, _twins = collect_soa_from_bam(bam_path, options)
         collect_time = time.perf_counter() - t0
         t0 = time.perf_counter()
         run_cluster(signatures, options)

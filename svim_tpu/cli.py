@@ -105,9 +105,9 @@ def _collect(options):
                                  reads_type, options.cores, options.aligner,
                                  options.nanopore)
         if options.device_backend != "host":
-            from svim_tpu.collect.packed import collect_signatures_from_bam
+            from svim_tpu.collect.packed import collect_soa_from_bam
             from svim_tpu.io.packed_fetch import PackedAlignmentIndex
-            header, packed, sigs, trans = collect_signatures_from_bam(bam_path, options)
+            header, packed, sigs, trans = collect_soa_from_bam(bam_path, options)
             return PackedAlignmentIndex(packed, header), sigs, trans
         aln_file = AlignmentFile(bam_path)
         sigs, trans = analyze_alignment_file_coordsorted(aln_file, options)
@@ -136,9 +136,9 @@ def _collect(options):
         except (ValueError, OSError):
             peeked_order = None
         if peeked_order == "coordinate":
-            from svim_tpu.collect.packed import collect_signatures_from_bam
+            from svim_tpu.collect.packed import collect_soa_from_bam
             from svim_tpu.io.packed_fetch import PackedAlignmentIndex
-            header, packed, sigs, trans = collect_signatures_from_bam(
+            header, packed, sigs, trans = collect_soa_from_bam(
                 options.bam_file, options)
             logging.info("Using the packed array COLLECT path on {0}".format(
                 _device_description()))
@@ -201,15 +201,21 @@ def run_pipeline(options):
         "INV": "inverted regions", "DUP_TAN": "tandem duplicated regions",
         "BND": "translocation breakpoints",
         "DUP_INT": "inserted regions with detected region of origin"}
+    from svim_tpu.sigtable import SignatureSoA
+    if isinstance(sv_signatures, SignatureSoA):
+        count_of = sv_signatures.count
+    else:
+        def count_of(sv_type):
+            return sum(1 for sig in sv_signatures if sig.type == sv_type)
     for sv_type in ("DEL", "INS", "INV", "DUP_TAN", "BND"):
-        count = sum(1 for sig in sv_signatures if sig.type == sv_type)
-        logging.info("Found {0} signatures for {1}.".format(count, type_names[sv_type]))
+        logging.info("Found {0} signatures for {1}.".format(count_of(sv_type),
+                                                            type_names[sv_type]))
     if options.all_bnds:
         logging.info("Found {0} signatures for translocation breakpoints from other "
                      "SV classes (DEL, INV, DUP).".format(
                          len(translocation_signatures_all_bnds)))
-    count = sum(1 for sig in sv_signatures if sig.type == "DUP_INT")
-    logging.info("Found {0} signatures for {1}.".format(count, type_names["DUP_INT"]))
+    logging.info("Found {0} signatures for {1}.".format(count_of("DUP_INT"),
+                                                        type_names["DUP_INT"]))
 
     logging.info("****************** STEP 2: CLUSTER ******************")
     with timer.stage("cluster", trace=True):
