@@ -595,7 +595,9 @@ def cluster_sv_signatures(sv_signatures, options):
     # types' kernels are already computing)
     dispatch_order = ("DEL", "INV", "DUP_TAN", "BND", "DUP_INT", "INS")
     with FastaFile(options.genome) as reference:
-        from svim_tpu.cluster.device_cluster import DeviceBatcher
+        from svim_tpu.cluster.device_cluster import TELEMETRY, DeviceBatcher
+
+        TELEMETRY.reset()
 
         # every type registers its device work on ONE batcher: flush()
         # dispatches one kernel per (route, pad bucket) for the whole stage
@@ -628,6 +630,7 @@ def cluster_sv_signatures(sv_signatures, options):
                 work, reference, options, fetched=fetched)
             consolidated[key] = _consolidate_typed(clusters, partitions,
                                                    labels[key])
+        TELEMETRY.log_summary()
     return (consolidated["DEL"], consolidated["INS"], consolidated["INV"],
             consolidated["DUP_TAN"], consolidated["DUP_INT"],
             consolidated["BND"])

@@ -50,6 +50,77 @@ DEVICE_TYPES = FUSED_TYPES + MATRIX_TYPES
 PARTITION_BUCKETS = (32, 128)
 
 
+class FallbackTelemetry:
+    """Counts where device-eligible partitions were resolved (VERDICT r2:
+    the silent-degradation risk of the exact-scipy fallback).
+
+    device: agglomerated on device, labels accepted.
+    pre_tie / pre_wall: exact f64 ties / surviving 99999 walls detected at
+        dispatch time -> resolved on host over the already-built matrix
+        WITHOUT paying a device round trip.  Exact ties are intrinsic to
+        deep-coverage data (integer breakpoint jitter collides); scipy's
+        nn-chain tie-breaking decides them and no finite-precision kernel
+        can replicate that, so these are data properties, not degradation.
+    post_tie / post_wall: the kernel ran but f32 could not arbitrate
+        (min_gap under TIE_EPS, dedup ambiguity, near-threshold heights) —
+        these WASTE a dispatch+fetch round trip and re-run on host; the
+        regression bound pins this fraction near zero.
+    """
+
+    __slots__ = ("device", "pre_tie", "pre_wall", "post_tie", "post_wall")
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.device = 0
+        self.pre_tie = 0
+        self.pre_wall = 0
+        self.post_tie = 0
+        self.post_wall = 0
+
+    @property
+    def eligible(self):
+        return (self.device + self.pre_tie + self.pre_wall
+                + self.post_tie + self.post_wall)
+
+    @property
+    def fallback_fraction(self):
+        total = self.eligible
+        host = total - self.device
+        return host / total if total else 0.0
+
+    @property
+    def wasted_fraction(self):
+        """Partitions that paid a device round trip and then re-ran on host."""
+        total = self.eligible
+        return (self.post_tie + self.post_wall) / total if total else 0.0
+
+    def as_dict(self):
+        return {"device": self.device, "pre_tie": self.pre_tie,
+                "pre_wall": self.pre_wall, "post_tie": self.post_tie,
+                "post_wall": self.post_wall,
+                "fallback_fraction": round(self.fallback_fraction, 4),
+                "wasted_fraction": round(self.wasted_fraction, 4)}
+
+    def log_summary(self):
+        import logging
+        total = self.eligible
+        if not total:
+            return
+        logging.info(
+            "Device clustering: {0}/{1} eligible partitions agglomerated on "
+            "device; {2} resolved by exact host linkage at dispatch "
+            "({3} f64 ties, {4} walls — no device cost); {5} wasted a device "
+            "round trip on f32 ambiguity ({6:.2%}).".format(
+                self.device, total, self.pre_tie + self.pre_wall,
+                self.pre_tie, self.pre_wall, self.post_tie + self.post_wall,
+                self.wasted_fraction))
+
+
+TELEMETRY = FallbackTelemetry()
+
+
 def _bucket(n: int) -> int:
     for bucket in PARTITION_BUCKETS:
         if n <= bucket:
@@ -244,46 +315,93 @@ class PendingDeviceClusters:
         self.ready = {}    # index -> DeviceClusterResult decided at dispatch
 
 
-def _dispatch_fused(samples, element_type, options, batcher):
-    """DEL / INV / DUP_TAN: coordinates -> device matrix+dedup+agglomerate
-    (rows registered on the batcher; dispatch happens at flush)."""
+def _dispatch_fused(samples, element_type, reference, options, batcher):
+    """DEL / INV / DUP_TAN: exact host arbitration + device agglomeration.
+
+    The f64 distance matrix for these types is a cheap vectorized expression
+    of integer columns, so dedup (SVIM_clustering.py:145-151) and the
+    tie/wall arbitration run EXACTLY on host at dispatch time; only
+    partitions the f32 kernel can provably order are dispatched.  Deep
+    coverage ties pair distances exactly (integer jitter grids collide), and
+    before this pre-check those partitions paid the kernel dispatch + fetch
+    round trips only to come back flagged ambiguous, then rebuilt the matrix
+    from scratch on the host path — twice the work of resolving them here."""
     wall_same_read = element_type != "INV"
-    pending = PendingDeviceClusters(samples, float(options.cluster_max_distance),
-                                    batcher)
+    threshold = float(options.cluster_max_distance)
+    pending = PendingDeviceClusters(samples, threshold, batcher)
+    fallback = pending.ready
     for index, sample in enumerate(samples):
-        pending.fused.append((index, batcher.add_fused(sample, wall_same_read)))
+        matrix = accel.distance_matrix(sample, element_type, reference, options)
+        reads = accel.read_index_array(sample)
+        dropped_count = 0
+        survivors = sample
+        if wall_same_read:
+            drop = accel.dedup_same_read(matrix, reads, threshold)
+            dropped_count = len(drop)
+            if drop:
+                keep = [i for i in range(len(sample)) if i not in drop]
+                if getattr(sample, "table", None) is not None:
+                    survivors = sample.take(keep)
+                else:
+                    survivors = [sample[i] for i in keep]
+                matrix = matrix[np.ix_(keep, keep)]
+                reads = reads[keep]
+        if len(survivors) == 1:
+            if getattr(survivors, "table", None) is not None:
+                fallback[index] = DeviceClusterResult([survivors], dropped_count)
+            else:
+                fallback[index] = DeviceClusterResult([[survivors[0]]],
+                                                      dropped_count)
+            continue
+        if wall_same_read:
+            same = reads[:, None] == reads[None, :]
+            np.fill_diagonal(same, False)
+            if same.any():
+                # surviving same-read pairs put 99999 walls into the linkage
+                TELEMETRY.pre_wall += 1
+                fallback[index] = DeviceClusterResult(_host_linkage_clusters(
+                    matrix, reads, survivors, threshold, True), dropped_count)
+                continue
+        condensed = matrix[np.triu_indices(len(survivors), k=1)]
+        if len(np.unique(condensed)) != len(condensed):
+            # exact f64 ties: scipy's nn-chain tie-breaking decides these
+            # and f32 cannot replicate it — resolve on the exact host path
+            # (reusing this matrix) without paying the device round trip
+            TELEMETRY.pre_tie += 1
+            fallback[index] = DeviceClusterResult(_host_linkage_clusters(
+                matrix, reads, survivors, threshold, wall_same_read),
+                dropped_count)
+            continue
+        pending.fused.append((index, survivors, dropped_count,
+                              batcher.add_fused(survivors, wall_same_read)))
     return pending
 
 
 def _consume_fused(pending, fetched):
     results = dict(pending.ready)
-    samples = pending.samples
     threshold = pending.threshold
-    for index, (_route, pad, row) in pending.fused:
+    for index, survivors, dropped_count, (_route, pad, row) in pending.fused:
         (merges_lo, merges_hi, heights, min_gap, dropped, has_wall,
          dedup_ambiguous) = fetched[("fused", pad)]
-        sample = samples[index]
-        n = len(sample)
-        if bool(has_wall[row]) or bool(dedup_ambiguous[row]) \
-                or float(min_gap[row]) < TIE_EPS:
+        if bool(has_wall[row]):
+            TELEMETRY.post_wall += 1
             results[index] = DeviceClusterResult(None, 0)
             continue
-        drop_mask = dropped[row, :n]
-        if getattr(sample, "table", None) is not None:
-            survivors = sample.take(np.flatnonzero(~drop_mask))
-        else:
-            survivors = [sample[i] for i in range(n) if not drop_mask[i]]
-        # kernel merges reference slot indices; scipy ids need survivor
-        # ranks (dropped slots leave gaps in the fused route)
-        slot_rank = np.cumsum(~dropped[row]) - 1
+        if bool(dedup_ambiguous[row]) or float(min_gap[row]) < TIE_EPS:
+            TELEMETRY.post_tie += 1
+            results[index] = DeviceClusterResult(None, 0)
+            continue
+        # dedup already happened exactly on host; dispatched rows are all
+        # survivors, so kernel slots map 1:1 to survivor ranks
         labels = labels_from_merges(merges_lo[row], merges_hi[row],
-                                    heights[row], len(survivors), threshold,
-                                    slot_rank=slot_rank)
+                                    heights[row], len(survivors), threshold)
         if labels is None:
+            TELEMETRY.post_tie += 1
             results[index] = DeviceClusterResult(None, 0)
             continue
+        TELEMETRY.device += 1
         results[index] = DeviceClusterResult(
-            _group_survivors(survivors, labels), int(drop_mask.sum()))
+            _group_survivors(survivors, labels), dropped_count)
     return results
 
 
@@ -333,6 +451,7 @@ def _dispatch_matrix(samples, element_type, reference, options, ed_cache,
                 same = reads[:, None] == reads[None, :]
                 np.fill_diagonal(same, False)
                 if same.any():
+                    TELEMETRY.pre_wall += 1
                     fallback[index] = DeviceClusterResult(_host_linkage_clusters(
                         matrix, reads, survivors, threshold, True), dropped_count)
                     continue
@@ -347,6 +466,7 @@ def _dispatch_matrix(samples, element_type, reference, options, ed_cache,
         if (matrix[off_diagonal] >= SAME_READ_WALL).any():
             # direction walls (BND) participate in above-cut averages that
             # float32 cannot order safely — host arbitrates those partitions
+            TELEMETRY.pre_wall += 1
             fallback[index] = DeviceClusterResult(_host_linkage_clusters(
                 matrix, reads, survivors, threshold, dedup_same_read),
                 dropped_count)
@@ -357,6 +477,7 @@ def _dispatch_matrix(samples, element_type, reference, options, ed_cache,
             # pileups with identical inserts): the kernel would flag the tie
             # (min_gap 0) and fall back anyway — skip the wasted dispatch and
             # the fetch round trip, resolve on the exact host path now
+            TELEMETRY.pre_tie += 1
             fallback[index] = DeviceClusterResult(_host_linkage_clusters(
                 matrix, reads, survivors, threshold, dedup_same_read),
                 dropped_count)
@@ -381,11 +502,13 @@ def _consume_matrix(pending, fetched, wall_same_read=True):
         if labels is None:
             # float32 could not arbitrate: exact host linkage over the
             # float64 matrix built at dispatch (no recomputation)
+            TELEMETRY.post_tie += 1
             clusters = _host_linkage_clusters(
                 matrix, reads, survivors, threshold,
                 wall_same_read and reads is not None)
             results[index] = DeviceClusterResult(clusters, dropped_count)
             continue
+        TELEMETRY.device += 1
         results[index] = DeviceClusterResult(
             _group_survivors(survivors, labels), dropped_count)
     return results
@@ -402,7 +525,8 @@ def dispatch_partitions_device(samples: List[list], element_type: str,
     if batcher is None:
         batcher = DeviceBatcher(options)
     if element_type in FUSED_TYPES:
-        return _dispatch_fused(samples, element_type, options, batcher)
+        return _dispatch_fused(samples, element_type, reference, options,
+                               batcher)
     if element_type in MATRIX_TYPES:
         return _dispatch_matrix(samples, element_type, reference, options,
                                 ed_cache, batcher)
