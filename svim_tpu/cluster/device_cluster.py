@@ -38,14 +38,28 @@ from svim_tpu.cluster.scipy_fast import average_linkage, fcluster_distance
 from svim_tpu.cluster import accel
 from svim_tpu.cluster.distance import SAME_READ_WALL
 from svim_tpu.ops.linkage_kernel import (
+    KIND_BND,
+    KIND_DUP_INT,
+    KIND_SPAN_POSITION,
     MERGE_CUTOFF,
     TIE_EPS,
     agglomerate_batched,
     span_position_agglomerate_batched,
 )
 
-FUSED_TYPES = ("DEL", "INV", "DUP_TAN")
-MATRIX_TYPES = ("INS", "DUP_INT", "BND")
+_FUSED_KIND = {"DEL": KIND_SPAN_POSITION, "INV": KIND_SPAN_POSITION,
+               "DUP_TAN": KIND_SPAN_POSITION, "DUP_INT": KIND_DUP_INT,
+               "BND": KIND_BND}
+
+# coordinate (fused) route: the device builds the distance matrix from int32
+# columns — DUP_INT adds a destination term, BND uses the /3000 formula with
+# direction-mismatch partitions arbitrated on host pre-dispatch.  INS stays
+# on the matrix route: its distances embed exact edit distances computed by
+# the native host batch (measured faster than the tunneled wavefront kernel
+# on every shape — cluster/edit_distance.py), so the f64 matrix already
+# exists on host and shipping it costs less than recomputing EDs on device.
+FUSED_TYPES = ("DEL", "INV", "DUP_TAN", "DUP_INT", "BND")
+MATRIX_TYPES = ("INS",)
 DEVICE_TYPES = FUSED_TYPES + MATRIX_TYPES
 PARTITION_BUCKETS = (32, 128)
 
@@ -220,11 +234,12 @@ class DeviceBatcher:
         self.matrix_rows = {}   # pad -> [float64 matrix]
         self.outputs = None
 
-    def add_fused(self, sample, wall_same_read: bool):
+    def add_fused(self, sample, wall_same_read: bool, element_type: str = "DEL"):
         n = len(sample)
         pad = _bucket(n)
         starts = np.zeros(pad, dtype=np.int32)
         ends = np.zeros(pad, dtype=np.int32)
+        dest = np.zeros(pad, dtype=np.int32)
         # distinct negative ids per padded slot would still compare equal
         # across rows of padding; keep padding invalid instead
         reads = np.full(pad, -1, dtype=np.int32)
@@ -232,10 +247,13 @@ class DeviceBatcher:
         sample_starts, sample_ends = accel._source_columns(sample)
         starts[:n] = sample_starts
         ends[:n] = sample_ends
+        kind = _FUSED_KIND[element_type]
+        if element_type in ("DUP_INT", "BND"):
+            dest[:n] = accel._dest_start_column(sample)
         reads[:n] = accel.read_index_array(sample)
         valid[:n] = True
         rows = self.fused_rows.setdefault(pad, [])
-        rows.append((starts, ends, reads, valid, wall_same_read))
+        rows.append((starts, ends, dest, reads, valid, wall_same_read, kind))
         return ("fused", pad, len(rows) - 1)
 
     def add_matrix(self, matrix):
@@ -255,27 +273,32 @@ class DeviceBatcher:
             batch = _round_up_pow2(len(rows))
             starts = np.zeros((batch, pad), dtype=np.int32)
             ends = np.zeros((batch, pad), dtype=np.int32)
+            dest = np.zeros((batch, pad), dtype=np.int32)
             reads = np.full((batch, pad), -1, dtype=np.int32)
             valid = np.zeros((batch, pad), dtype=bool)
             wall = np.zeros(batch, dtype=bool)
-            for row, (row_starts, row_ends, row_reads, row_valid,
-                      row_wall) in enumerate(rows):
+            kinds = np.zeros(batch, dtype=np.int32)
+            for row, (row_starts, row_ends, row_dest, row_reads, row_valid,
+                      row_wall, row_kind) in enumerate(rows):
                 starts[row] = row_starts
                 ends[row] = row_ends
+                dest[row] = row_dest
                 reads[row] = row_reads
                 valid[row] = row_valid
                 wall[row] = row_wall
-            arrays = (starts, ends, reads, valid, wall)
+                kinds[row] = row_kind
+            arrays = (starts, ends, dest, reads, valid, wall, kinds)
             if num_shards > 1:
                 # lay the partition batch out over the data mesh: GSPMD
                 # splits the vmapped agglomeration across devices
                 from svim_tpu.parallel.mesh import shard_batch
                 arrays = shard_batch(num_shards, *arrays)
-            starts, ends, reads, valid, wall = arrays
+            starts, ends, dest, reads, valid, wall, kinds = arrays
             outputs[("fused", pad)] = span_position_agglomerate_batched(
                 starts, ends, reads, valid,
                 np.float32(options.position_distance_normalizer),
-                np.float32(options.cluster_max_distance), wall)
+                np.float32(options.cluster_max_distance), wall,
+                dest=dest, kind=kinds)
         for pad, matrices_f64 in sorted(self.matrix_rows.items()):
             batch = _round_up_pow2(len(matrices_f64))
             matrices = np.full((batch, pad, pad), 3.0e38, dtype=np.float32)
@@ -362,6 +385,15 @@ def _dispatch_fused(samples, element_type, reference, options, batcher):
                 fallback[index] = DeviceClusterResult(_host_linkage_clusters(
                     matrix, reads, survivors, threshold, True), dropped_count)
                 continue
+        off_diagonal = ~np.eye(len(survivors), dtype=bool)
+        if (matrix[off_diagonal] >= SAME_READ_WALL).any():
+            # BND direction-mismatch pairs wall the linkage; the device
+            # coordinate formula carries no direction info — host arbitrates
+            TELEMETRY.pre_wall += 1
+            fallback[index] = DeviceClusterResult(_host_linkage_clusters(
+                matrix, reads, survivors, threshold, wall_same_read),
+                dropped_count)
+            continue
         condensed = matrix[np.triu_indices(len(survivors), k=1)]
         if len(np.unique(condensed)) != len(condensed):
             # exact f64 ties: scipy's nn-chain tie-breaking decides these
@@ -373,7 +405,8 @@ def _dispatch_fused(samples, element_type, reference, options, batcher):
                 dropped_count)
             continue
         pending.fused.append((index, survivors, dropped_count,
-                              batcher.add_fused(survivors, wall_same_read)))
+                              batcher.add_fused(survivors, wall_same_read,
+                                                element_type)))
     return pending
 
 

@@ -132,13 +132,25 @@ def agglomerate_batched(distances, valid):
 WALL = jnp.float32(99999.0)
 
 
-def _span_position_fused_one(starts, ends, reads, valid, norm, threshold,
-                             wall_flag, steps=None):
+BND_NORM = jnp.float32(3000.0)  # hardcoded in the reference (SVIM_clustering.py:91)
+
+# per-partition distance-formula codes for the fused route
+KIND_SPAN_POSITION = 0   # DEL / INV / DUP_TAN  (SVIM_clustering.py:48-63)
+KIND_DUP_INT = 1         # source center + destination start + span (:78-86)
+KIND_BND = 2             # (|pos1 delta| + |pos2 delta|) / 3000 (:87-94);
+#                          direction-mismatch pairs are arbitrated on host
+#                          BEFORE dispatch (they wall the linkage)
+
+
+def _span_position_fused_one(starts, ends, dest, reads, valid, norm, threshold,
+                             wall_flag, kind, steps=None):
     """One partition: device distance matrix + dedup + agglomeration.
 
     `wall_flag` is a traced per-partition boolean (True = apply the same-read
-    dedup rule + wall; False = INV semantics), so partitions of DIFFERENT
-    types batch into one kernel invocation.
+    dedup rule + wall; False = INV semantics) and `kind` a traced int32
+    distance-formula code, so partitions of DIFFERENT types batch into one
+    kernel invocation.  `dest` carries the second coordinate column (DUP_INT
+    destination start / BND pos2); ignored for kind 0.
 
     Returns (merges_lo, merges_hi, heights, min_gap, dropped, has_wall,
     dedup_ambiguous)."""
@@ -148,8 +160,15 @@ def _span_position_fused_one(starts, ends, reads, valid, norm, threshold,
     delta_center = jnp.abs(centers[:, None] - centers[None, :])
     delta_span = jnp.abs(spans[:, None] - spans[None, :])
     max_span = jnp.maximum(jnp.maximum(spans[:, None], spans[None, :]), 1)
-    distance = (delta_center.astype(jnp.float32) / norm
-                + delta_span.astype(jnp.float32) / max_span.astype(jnp.float32))
+    span_position = (delta_center.astype(jnp.float32) / norm
+                     + delta_span.astype(jnp.float32) / max_span.astype(jnp.float32))
+    delta_dest = jnp.abs(dest[:, None] - dest[None, :]).astype(jnp.float32)
+    dup_int = span_position + delta_dest / norm
+    delta_start = jnp.abs(starts[:, None] - starts[None, :]).astype(jnp.float32)
+    bnd = (delta_start + delta_dest) / BND_NORM
+    distance = jnp.where(kind == KIND_BND, bnd,
+                         jnp.where(kind == KIND_DUP_INT, dup_int,
+                                   span_position))
 
     eye = jnp.eye(p, dtype=bool)
     pair_valid = valid[:, None] & valid[None, :] & ~eye
@@ -175,21 +194,34 @@ def _span_position_fused_one(starts, ends, reads, valid, norm, threshold,
     return merges_lo, merges_hi, heights, min_gap, dropped, has_wall, dedup_ambiguous
 
 
-@jax.jit
 def span_position_agglomerate_batched(starts, ends, reads, valid, norm,
-                                      threshold, wall_same_read=True):
+                                      threshold, wall_same_read=True,
+                                      dest=None, kind=KIND_SPAN_POSITION):
     """(B, P) int32 coordinate batch -> per-partition merge sequences plus
     dedup/diagnostic outputs (see _span_position_fused_one).
 
     `wall_same_read` may be a scalar bool (applied to every partition) or a
-    (B,) bool array (per-partition type semantics — one compiled variant
-    serves mixed-type batches)."""
+    (B,) bool array, and `kind` a scalar or (B,) int32 formula code —
+    per-partition semantics so ONE compiled variant serves mixed-type
+    batches.  `dest` defaults to zeros (unused for kind 0)."""
+    if dest is None:
+        import numpy as np
+        dest = np.zeros(starts.shape, dtype=np.int32)
+    return _span_position_agglomerate_jit(starts, ends, dest, reads, valid,
+                                          norm, threshold, wall_same_read,
+                                          kind)
+
+
+@jax.jit
+def _span_position_agglomerate_jit(starts, ends, dest, reads, valid, norm,
+                                   threshold, wall_same_read, kind):
     batch = starts.shape[0]
     wall = jnp.broadcast_to(jnp.asarray(wall_same_read, dtype=bool), (batch,))
+    kinds = jnp.broadcast_to(jnp.asarray(kind, dtype=jnp.int32), (batch,))
     steps = jnp.maximum(jnp.max(jnp.sum(valid, axis=1)) - 1, 0)
     return jax.vmap(_span_position_fused_one,
-                    in_axes=(0, 0, 0, 0, None, None, 0, None))(
-        starts, ends, reads, valid, norm, threshold, wall, steps)
+                    in_axes=(0, 0, 0, 0, 0, None, None, 0, 0, None))(
+        starts, ends, dest, reads, valid, norm, threshold, wall, kinds, steps)
 
 
 # --- legacy flat-label variant (mesh demo / tests) ----------------------------

@@ -216,3 +216,47 @@ def test_device_backend_exact_on_tie_grids(default_options):
                         "chr1", start, end, 1, True, "suppl", read))
         _compare(dels, default_options, "deleted regions")
         _compare(tans, default_options, "tandem duplicated regions")
+
+
+def test_coordinate_route_dispatches_dup_int_and_bnd(wide_options):
+    """DUP_INT and BND ride the coordinate (fused) route: tie-free
+    partitions must actually agglomerate ON DEVICE (telemetry device > 0),
+    not silently fall back — the parity tests above would pass either way."""
+    from svim_tpu.cluster.device_cluster import (
+        FUSED_TYPES,
+        TELEMETRY,
+        cluster_partitions_device,
+    )
+
+    assert "DUP_INT" in FUSED_TYPES and "BND" in FUSED_TYPES
+    rng = random.Random(41)
+    dup_parts = []
+    for locus in range(4):
+        base = 100_000 + locus * 50_000
+        size = 300 + locus * 13
+        part = []
+        for member in range(6):
+            j = rng.randint(-200, 200)
+            part.append(SignatureInsertionFrom(
+                "chr2", base + j, base + j + size + member * 7, "chr1",
+                5_000 + locus * 1_000 + rng.randint(-200, 200), "suppl",
+                "rd{0}_{1}".format(locus, member)))
+        dup_parts.append(part)
+    TELEMETRY.reset()
+    results = cluster_partitions_device(dup_parts, "DUP_INT", None, wide_options)
+    assert all(entry.clusters is not None for entry in results.values())
+    assert TELEMETRY.device >= 3
+
+    bnd_parts = []
+    for locus in range(4):
+        base = 100_000 + locus * 50_000
+        part = [SignatureTranslocation(
+            "chr1", base + rng.randint(-300, 300), "fwd",
+            "chr2", 7_000 + locus * 900 + rng.randint(-300, 300), "rev",
+            "suppl", "rb{0}_{1}".format(locus, member))
+            for member in range(6)]
+        bnd_parts.append(part)
+    TELEMETRY.reset()
+    results = cluster_partitions_device(bnd_parts, "BND", None, wide_options)
+    assert all(entry.clusters is not None for entry in results.values())
+    assert TELEMETRY.device >= 3
