@@ -20,7 +20,14 @@ import subprocess
 import threading
 
 _SOURCE = os.path.join(os.path.dirname(__file__), "svimnative.cpp")
-_LIBRARY = os.path.join(os.path.dirname(__file__), "_svimnative.so")
+# SVIM_NATIVE_TSAN=1 selects a ThreadSanitizer-instrumented build of the
+# same sources (race tooling for the thread pools: BGZF inflate, ed batch,
+# star_polish fan-out).  Run python under
+# LD_PRELOAD=$(g++ -print-file-name=libtsan.so.2) so the runtime loads
+# before CPython; scripts/tsan_stress.py drives it.
+_TSAN = os.environ.get("SVIM_NATIVE_TSAN") == "1"
+_LIBRARY = os.path.join(os.path.dirname(__file__),
+                        "_svimnative_tsan.so" if _TSAN else "_svimnative.so")
 _lock = threading.Lock()
 _lib = None
 _build_failed = False
@@ -30,9 +37,13 @@ _POA_SOURCE = os.path.join(os.path.dirname(__file__), "poa.cpp")
 
 
 def _build() -> bool:
-    command = ["g++", "-O3", "-march=x86-64-v3", "-shared", "-fPIC", "-std=c++17",
+    if _TSAN:
+        flags = ["-O1", "-g", "-fsanitize=thread"]
+    else:
+        flags = ["-O3", "-march=x86-64-v3"]
+    command = (["g++"] + flags + ["-shared", "-fPIC", "-std=c++17",
                "-o", _LIBRARY, _SOURCE, _POA_SOURCE, "-lz", "-lpthread",
-               "-ldl"]
+               "-ldl"])
     try:
         subprocess.run(command, check=True, capture_output=True)
         return True

@@ -131,8 +131,12 @@ static bool align_to_graph(const Graph& graph, const char* seq, int64_t len,
   for (int r = 1; r < rows; ++r) {
     const Node& node = graph.nodes[graph.topo[r - 1]];
     const char base = node.base;
-    // predecessor rows (virtual start when the node has no preds)
-    static thread_local std::vector<int> pred_rows;
+    // predecessor rows (virtual start when the node has no preds).
+    // Leaked TLS pointer: non-trivial TLS destructors in a dlopen'd
+    // library race with glibc teardown (see svimnative.cpp).
+    static thread_local std::vector<int>* pred_rows_p = nullptr;
+    if (!pred_rows_p) pred_rows_p = new std::vector<int>();
+    std::vector<int>& pred_rows = *pred_rows_p;
     pred_rows.clear();
     if (node.preds.empty()) {
       pred_rows.push_back(0);
@@ -331,7 +335,9 @@ static bool align_to_graph_banded(const Graph& graph, const char* seq,
   for (int r = 1; r < rows; ++r) {
     const Node& node = graph.nodes[graph.topo[r - 1]];
     const char base = node.base;
-    static thread_local std::vector<int> pred_rows;
+    static thread_local std::vector<int>* pred_rows_p = nullptr;
+    if (!pred_rows_p) pred_rows_p = new std::vector<int>();
+    std::vector<int>& pred_rows = *pred_rows_p;
     pred_rows.clear();
     if (node.preds.empty()) {
       pred_rows.push_back(0);

@@ -256,7 +256,17 @@ struct BamScanCache {
   std::vector<int64_t> compact_off;    // per record: arena offset, -1 = raw row
   std::vector<int32_t> compact_len;
 };
-static thread_local BamScanCache g_bam_scan_cache;
+// Thread-local scratch is held through a raw pointer (trivial TLS
+// destructor) and intentionally leaked at thread exit: non-trivial TLS
+// destructors in a dlopen'd library run from __call_tls_dtors, which races
+// with glibc's _dl_deallocate_tls (TSAN reports it) and crashes outright if
+// the library is unloaded before the thread exits.  One allocation per pool
+// thread lifetime.
+static BamScanCache& bam_scan_cache_tls() {
+  static thread_local BamScanCache* cache = nullptr;
+  if (!cache) cache = new BamScanCache();
+  return *cache;
+}
 
 // Count one passing record's final op count, stashing its compacted words in
 // the cache arena (when compaction applies and shrinks the row).
@@ -295,7 +305,7 @@ int bam_count(const uint8_t* data, int64_t size, int64_t body_offset,
   int64_t off = body_offset;
   int64_t n = 0;
   int64_t max_ops = 1;
-  BamScanCache& cache = g_bam_scan_cache;
+  BamScanCache& cache = bam_scan_cache_tls();
   cache.data = nullptr;  // invalidate until the walk completes
   cache.offsets.clear();
   cache.compact_words.clear();
@@ -393,7 +403,7 @@ int bam_inflate_count(const uint8_t* comp, int64_t comp_size, uint8_t* out,
     return avail_local >= need;
   };
 
-  BamScanCache& cache = g_bam_scan_cache;
+  BamScanCache& cache = bam_scan_cache_tls();
   cache.data = nullptr;  // invalidate until the walk completes
   cache.offsets.clear();
   cache.compact_words.clear();
@@ -461,7 +471,7 @@ int bam_fill(const uint8_t* data, int64_t size, int64_t body_offset,
              int n_threads) {
   // compacted-words arena from the preceding count walk (same thread):
   // rows whose compaction was already computed there just memcpy
-  const BamScanCache& cache0 = g_bam_scan_cache;
+  const BamScanCache& cache0 = bam_scan_cache_tls();
   const bool arena_ok =
       cache0.data == data && cache0.size == size
       && cache0.body_offset == body_offset && cache0.min_mapq == min_mapq
@@ -531,7 +541,7 @@ int bam_fill(const uint8_t* data, int64_t size, int64_t body_offset,
 
   // fast path: bam_count on this thread just walked this exact buffer and
   // cached every passing record's offset — rows fan out across threads
-  const BamScanCache& cache = g_bam_scan_cache;
+  const BamScanCache& cache = bam_scan_cache_tls();
   if (cache.data == data && cache.size == size
       && cache.body_offset == body_offset && cache.min_mapq == min_mapq
       && cache.min_sv_size == min_sv_size) {
@@ -951,10 +961,20 @@ static int64_t greedy_levenshtein(const uint8_t* a, int64_t m,
   // every return, so per-call cost is O(d), not O(cap).
   static const int64_t kMaxCap = 4096;
   if (cap > kMaxCap) cap = kMaxCap;
-  thread_local std::vector<int64_t> fr_a_tl((size_t)(2 * kMaxCap + 3), kNeg);
-  thread_local std::vector<int64_t> fr_b_tl((size_t)(2 * kMaxCap + 3), kNeg);
-  int64_t* fr_prev = fr_a_tl.data() + kMaxCap + 1;
-  int64_t* fr_cur = fr_b_tl.data() + kMaxCap + 1;
+  // raw leaked buffers: see bam_scan_cache_tls for why TLS objects here
+  // must have trivial destructors
+  static thread_local int64_t* fr_a_tl = nullptr;
+  static thread_local int64_t* fr_b_tl = nullptr;
+  if (!fr_a_tl) {
+    fr_a_tl = new int64_t[(size_t)(2 * kMaxCap + 3)];
+    fr_b_tl = new int64_t[(size_t)(2 * kMaxCap + 3)];
+    for (int64_t k = 0; k < 2 * kMaxCap + 3; ++k) {
+      fr_a_tl[k] = kNeg;
+      fr_b_tl[k] = kNeg;
+    }
+  }
+  int64_t* fr_prev = fr_a_tl + kMaxCap + 1;
+  int64_t* fr_cur = fr_b_tl + kMaxCap + 1;
   auto cleanup = [&](int64_t e_max) {
     const int64_t r = (e_max + 1 < kMaxCap + 1 ? e_max + 1 : kMaxCap + 1);
     for (int64_t k = -r; k <= r; ++k) {
