@@ -38,6 +38,20 @@ class PartitionWindow:
         return self.sequence[start - self.offset:end - self.offset]
 
 
+_TRIU_CACHE = {}
+
+
+def triu_indices_cached(n: int):
+    """np.triu_indices(n, k=1) memoized: partitions cap at 128 elements and
+    the profile showed the tri/broadcast rebuild costing more than the
+    linkage it feeds on dense-tie workloads."""
+    cached = _TRIU_CACHE.get(n)
+    if cached is None:
+        cached = np.triu_indices(n, k=1)
+        _TRIU_CACHE[n] = cached
+    return cached
+
+
 def _span_position_terms(starts, ends, position_distance_normalizer):
     """(pos_dist, span_dist) matrices with reference op order."""
     centers = (starts + ends) // 2
@@ -422,5 +436,4 @@ def condensed_with_wall(matrix, reads, wall_same_read):
     if wall_same_read:
         same_read = reads[:, None] == reads[None, :]
         matrix = np.where(same_read, float(SAME_READ_WALL), matrix)
-    iu = np.triu_indices(n, k=1)
-    return matrix[iu]
+    return matrix[triu_indices_cached(n)]

@@ -521,7 +521,7 @@ def partition_and_cluster_candidates(candidates, options, type):
         # candidate-level DUP_INT distance == the signature-level formula
         # (SVIM_clustering.py:110-119), so the vectorized matrix applies
         matrix = accel.distance_matrix(partition_sample, "DUP_INT", None, options)
-        distances = matrix[np.triu_indices(len(partition_sample), k=1)]
+        distances = matrix[accel.triu_indices_cached(len(partition_sample))]
         dendrogram = average_linkage(distances)
         labels = list(fcluster_distance(dendrogram, options.cluster_max_distance))
         clusters.extend(_group_by_labels(partition_sample, labels))
@@ -606,6 +606,11 @@ def cluster_sv_signatures(sv_signatures, options):
         batcher = DeviceBatcher(options)
         staged = {}
         for key in dispatch_order:
+            if key == "INS":
+                # the five coordinate types are registered: dispatch their
+                # fused kernels NOW so the device computes while the host
+                # runs the INS prep (native edit-distance batch + matrices)
+                batcher.flush_fused()
             if soa is not None:
                 table = soa.tables.get(key)
                 partitions = (form_partitions_table(

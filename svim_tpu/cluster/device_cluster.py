@@ -226,15 +226,19 @@ class DeviceBatcher:
     jit shape variant, so collapsing per-type calls into shared batches is
     the difference between ~10 round trips and ~2."""
 
-    __slots__ = ("options", "fused_rows", "matrix_rows", "outputs")
+    __slots__ = ("options", "fused_rows", "matrix_rows", "outputs",
+                 "fused_flushed")
 
     def __init__(self, options):
         self.options = options
         self.fused_rows = {}    # pad -> [(starts, ends, reads, valid, wall)]
         self.matrix_rows = {}   # pad -> [float64 matrix]
         self.outputs = None
+        self.fused_flushed = False
 
     def add_fused(self, sample, wall_same_read: bool, element_type: str = "DEL"):
+        assert not self.fused_flushed, \
+            "fused buckets already dispatched; register fused types first"
         n = len(sample)
         pad = _bucket(n)
         starts = np.zeros(pad, dtype=np.int32)
@@ -262,13 +266,18 @@ class DeviceBatcher:
         rows.append(matrix)
         return ("matrix", pad, len(rows) - 1)
 
-    def flush(self):
-        """Dispatch every accumulated bucket (async; results not fetched)."""
-        if self.outputs is not None:
-            return
+    def flush_fused(self):
+        """Dispatch the fused-route buckets accumulated so far (async).
+
+        Called by the stage driver after the five coordinate types have
+        registered and BEFORE the INS staging: the fused kernels then compute
+        while the host runs the native INS edit-distance batch and matrix
+        prep, instead of idling until one terminal flush."""
+        if self.outputs is None:
+            self.outputs = {}
         options = self.options
         num_shards = getattr(options, "num_shards", 1)
-        outputs = {}
+        outputs = self.outputs
         for pad, rows in sorted(self.fused_rows.items()):
             batch = _round_up_pow2(len(rows))
             starts = np.zeros((batch, pad), dtype=np.int32)
@@ -299,6 +308,15 @@ class DeviceBatcher:
                 np.float32(options.position_distance_normalizer),
                 np.float32(options.cluster_max_distance), wall,
                 dest=dest, kind=kinds)
+        self.fused_rows = {}
+        self.fused_flushed = True
+
+    def flush(self):
+        """Dispatch every accumulated bucket (async; results not fetched)."""
+        self.flush_fused()
+        options = self.options
+        num_shards = getattr(options, "num_shards", 1)
+        outputs = self.outputs
         for pad, matrices_f64 in sorted(self.matrix_rows.items()):
             batch = _round_up_pow2(len(matrices_f64))
             matrices = np.full((batch, pad, pad), 3.0e38, dtype=np.float32)
@@ -312,7 +330,7 @@ class DeviceBatcher:
                 from svim_tpu.parallel.mesh import shard_batch
                 arrays = shard_batch(num_shards, *arrays)
             outputs[("matrix", pad)] = agglomerate_batched(*arrays)
-        self.outputs = outputs
+        self.matrix_rows = {}
 
     def device_outputs(self):
         """{bucket key: output tree} — fetch with one jax.device_get."""
@@ -394,7 +412,7 @@ def _dispatch_fused(samples, element_type, reference, options, batcher):
                 matrix, reads, survivors, threshold, wall_same_read),
                 dropped_count)
             continue
-        condensed = matrix[np.triu_indices(len(survivors), k=1)]
+        condensed = matrix[accel.triu_indices_cached(len(survivors))]
         if len(np.unique(condensed)) != len(condensed):
             # exact f64 ties: scipy's nn-chain tie-breaking decides these
             # and f32 cannot replicate it — resolve on the exact host path
@@ -445,7 +463,7 @@ def _host_linkage_clusters(matrix, reads, survivors, threshold, wall_same_read):
     if wall_same_read:
         distances = accel.condensed_with_wall(matrix, reads, wall_same_read=True)
     else:
-        distances = matrix[np.triu_indices(matrix.shape[0], k=1)]
+        distances = matrix[accel.triu_indices_cached(matrix.shape[0])]
     dendrogram = average_linkage(distances)
     labels = fcluster_distance(dendrogram, threshold)
     return _group_survivors(survivors, labels)
@@ -504,7 +522,7 @@ def _dispatch_matrix(samples, element_type, reference, options, ed_cache,
                 matrix, reads, survivors, threshold, dedup_same_read),
                 dropped_count)
             continue
-        condensed = matrix[np.triu_indices(len(survivors), k=1)]
+        condensed = matrix[accel.triu_indices_cached(len(survivors))]
         if len(np.unique(condensed)) != len(condensed):
             # exactly-tied pair distances (common for deep-coverage INS
             # pileups with identical inserts): the kernel would flag the tie
