@@ -2,10 +2,15 @@
 """svim-tpu benchmark: aligned reads/s through signature extraction + clustering.
 
 Workload: synthetic long-read BAM (ONT-like CIGARs with embedded SVs, split
-reads with SA tags).  Baseline: the sequential per-read host path, equivalent
-to single-core SVIM v2.0.0 (its COLLECT is a Python loop over pysam records;
-reference README.rst:73 "no support for multi-threading").  Array path: packed
-BAM scan + device kernels on whatever jax.devices() provides.
+reads with SA tags).  Baseline: the ACTUAL single-core SVIM v2.0.0 — the
+unmodified reference code under /root/reference run against this repo's
+pysam shim (tests/shims; its record accessors are memoized one-pass
+computations, approximating pysam's C-backed properties) — timed over the
+same COLLECT+CLUSTER stages, plus a measured strict lower bound for the BAM
+ingest real pysam pays inside COLLECT.  When the reference tree is absent
+the baseline falls back to this repo's sequential host port of the same
+loops.  Array path: packed BAM scan + device kernels on whatever
+jax.devices() provides.
 
 Prints ONE JSON line:
   {"metric": ..., "value": reads/s, "unit": "reads/s", "vs_baseline": x}
@@ -166,6 +171,61 @@ def run_cluster_reference(signatures, options):
     return cluster_sv_signatures_reference(signatures, options)
 
 
+REFERENCE_SRC = "/root/reference/src"
+
+
+def _reference_baseline_measurement(tmp_dir, bam_path, genome_path):
+    """Time the UNMODIFIED reference SVIM's COLLECT+CLUSTER on the workload
+    (runs in a subprocess via --reference-baseline: the reference mutates
+    global logging and the shim import must shadow absent third-party
+    packages).  Prints ONE json line {best_s, n_sigs}."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tests", "shims"))
+    sys.path.insert(1, REFERENCE_SRC)
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import logging
+    logging.disable(logging.INFO)
+
+    from svim_tpu.config import parse_arguments
+    options = parse_arguments(arguments=["alignment", tmp_dir, bam_path,
+                                         genome_path])
+    import pysam  # the shim (first-party IO underneath)
+    from svim.SVIM_COLLECT import analyze_alignment_file_coordsorted
+    from svim.SVIM_CLUSTER import cluster_sv_signatures as reference_cluster
+
+    best = float("inf")
+    n_sigs = 0
+    for _ in range(2):  # first pass warms scipy/.fai; best-of-2 vs box noise
+        bam = pysam.AlignmentFile(bam_path)
+        t0 = time.perf_counter()
+        signatures, _trans = analyze_alignment_file_coordsorted(bam, options)
+        reference_cluster(signatures, options)
+        best = min(best, time.perf_counter() - t0)
+        n_sigs = len(signatures)
+    print(json.dumps({"best_s": best, "n_sigs": n_sigs}))
+
+
+def _run_reference_baseline_subprocess(tmp_dir, bam_path, genome_path):
+    """Reference baseline in a subprocess; None when unavailable/failed."""
+    if not os.path.isdir(REFERENCE_SRC):
+        return None
+    import subprocess
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--reference-baseline", tmp_dir, bam_path, genome_path],
+            capture_output=True, timeout=1200, text=True)
+    except subprocess.TimeoutExpired:
+        return None
+    if proc.returncode != 0:
+        return None
+    for line in reversed(proc.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    return None
+
+
 def _probe_tpu(timeout_s: int = None) -> bool:
     """Run a trivial computation on the default jax platform in a SUBPROCESS:
     the axon TPU worker can crash/hang (first attach also takes minutes), and
@@ -265,25 +325,14 @@ def main():
     bam_path, genome_path, header, records = make_workload(tmp_dir)
     options = parse_arguments(arguments=["alignment", tmp_dir, bam_path, genome_path])
 
-    # ---- baseline: sequential host path (single-core SVIM-equivalent) ----------
-    from svim_tpu.collect.intra import analyze_alignment_indel
-    from svim_tpu.collect.collect import retrieve_other_alignments
-    from svim_tpu.collect.inter import analyze_read_segments
-    from svim_tpu.io.sam import AlignmentFile
-
-    bam_host = AlignmentFile(bam_path)
-    host_records = list(bam_host.fetch(until_eof=True))
-    if BASELINE_SAMPLE:
-        host_records = host_records[:BASELINE_SAMPLE]
-    baseline_reads = len(host_records)
-
-    # The baseline loop below consumes pre-materialized records, but real
-    # single-core SVIM pays BAM ingest inside its COLLECT loop (htslib BGZF
-    # inflate + pysam record decode; the array path's timing includes its own
-    # scan).  Charge the baseline a measured STRICT LOWER BOUND on that cost:
-    # the single-threaded native inflate + record walk + column decode, with
-    # no Python object materialization and libdeflate (faster than htslib's
-    # zlib).  Everything pysam does beyond this is uncharged.
+    # The reference pays BAM ingest inside its COLLECT loop (htslib BGZF
+    # inflate + pysam record decode), while the shim's AlignmentFile decodes
+    # records up front (outside the timed window) and the array path's
+    # timing includes its own scan.  Charge the baseline a measured STRICT
+    # LOWER BOUND on that cost: the single-threaded native inflate + record
+    # walk + column decode, with no Python object materialization and
+    # libdeflate (faster than htslib's zlib).  Everything pysam does beyond
+    # this is uncharged.
     ingest_best = 0.0
     try:
         from svim_tpu import native as svim_native
@@ -302,29 +351,52 @@ def main():
     except Exception:
         ingest_best = 0.0
 
-    baseline_best = float("inf")
-    # first pass warms one-time costs (scipy, .fai build) for BOTH paths;
-    # best-of-2 keeps the baseline fair under load noise
-    for _ in range(2):
-        t0 = time.perf_counter()
-        host_signatures = []
-        for record in host_records:
-            supplementary = [aln for aln in retrieve_other_alignments(record, bam_host)
-                             if aln.mapping_quality >= options.min_mapq]
-            sigs, _ = analyze_alignment_indel(record, bam_host, record.query_name, options)
-            host_signatures.extend(sigs)
-            sigs, _ = analyze_read_segments(record, supplementary, bam_host, options)
-            host_signatures.extend(sigs)
-        host_collect_time = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        run_cluster_reference(host_signatures, options)
-        host_cluster_time = time.perf_counter() - t0
-        baseline_best = min(baseline_best, host_collect_time + host_cluster_time)
-    baseline_reads_per_s = baseline_reads / (baseline_best + ingest_best)
-
-    # ---- array path: packed scan + device kernels (watchdogged subprocess) -----
+    # ---- array path FIRST: the reference subprocess peaks at GBs of Python
+    # objects and leaves the box's page cache churned — measuring the array
+    # path after it was worth ~2x on its best_s (pure box-state noise)
     array = _run_array_subprocess(tmp_dir, bam_path, genome_path)
     array_reads_per_s = N_READS / array["best_s"]
+
+    # ---- baseline: the ACTUAL reference (unmodified, via shims) ---------------
+    reference = (None if BASELINE_SAMPLE
+                 else _run_reference_baseline_subprocess(tmp_dir, bam_path,
+                                                         genome_path))
+    if reference is not None:
+        baseline_best = reference["best_s"]
+        baseline_reads = N_READS
+    else:
+        # fallback: this repo's sequential host port of the same loops
+        from svim_tpu.collect.intra import analyze_alignment_indel
+        from svim_tpu.collect.collect import retrieve_other_alignments
+        from svim_tpu.collect.inter import analyze_read_segments
+        from svim_tpu.io.sam import AlignmentFile
+
+        bam_host = AlignmentFile(bam_path)
+        host_records = list(bam_host.fetch(until_eof=True))
+        if BASELINE_SAMPLE:
+            host_records = host_records[:BASELINE_SAMPLE]
+        baseline_reads = len(host_records)
+
+        baseline_best = float("inf")
+        # first pass warms one-time costs (scipy, .fai build) for BOTH
+        # paths; best-of-2 keeps the baseline fair under load noise
+        for _ in range(2):
+            t0 = time.perf_counter()
+            host_signatures = []
+            for record in host_records:
+                supplementary = [aln for aln in retrieve_other_alignments(record, bam_host)
+                                 if aln.mapping_quality >= options.min_mapq]
+                sigs, _ = analyze_alignment_indel(record, bam_host, record.query_name, options)
+                host_signatures.extend(sigs)
+                sigs, _ = analyze_read_segments(record, supplementary, bam_host, options)
+                host_signatures.extend(sigs)
+            host_collect_time = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            run_cluster_reference(host_signatures, options)
+            host_cluster_time = time.perf_counter() - t0
+            baseline_best = min(baseline_best,
+                                host_collect_time + host_cluster_time)
+    baseline_reads_per_s = baseline_reads / (baseline_best + ingest_best)
 
     result = {
         "metric": "aligned reads/s through signature extraction+clustering (1 chip: {0})".format(
@@ -339,5 +411,7 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--array":
         _array_measurement(sys.argv[2], sys.argv[3], sys.argv[4])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--reference-baseline":
+        _reference_baseline_measurement(sys.argv[2], sys.argv[3], sys.argv[4])
     else:
         main()

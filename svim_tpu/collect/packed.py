@@ -39,14 +39,14 @@ class _SATagSegment:
 
     def __init__(self, ref_id, ref_start, cigar_string, mapq, is_reverse):
         tuples = cigar_utils.parse_cigar(cigar_string)
+        (_bases, _ops, ref_len, _q_len, read_length,
+         qa_start, qa_end) = cigar_utils.derived_stats(tuples)
         self.ref_id = ref_id
         self.ref_start = ref_start
-        self.ref_end = ref_start + cigar_utils.reference_length(tuples)
+        self.ref_end = ref_start + ref_len
         self.mapq = mapq
         self.is_reverse = is_reverse
-        qa_start, qa_end = cigar_utils.query_alignment_bounds(tuples)
         if is_reverse:
-            read_length = cigar_utils.query_length(tuples, include_hard_clips=True)
             self.q_start = read_length - qa_end
             self.q_end = read_length - qa_start
         else:

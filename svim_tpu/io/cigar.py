@@ -69,6 +69,43 @@ def query_alignment_bounds(tuples) -> Tuple[int, int]:
     return start, end
 
 
+def derived_stats(tuples):
+    """One-pass derived geometry for a record's CIGAR: (base_counts,
+    op_counts, reference_length, query_length, read_length,
+    query_alignment_start, query_alignment_end).
+
+    pysam computes each of these accessors in C per call; the object path
+    here calls several of them per record, so one cached pass replaces
+    repeated generator sums (the dominant cost of the host COLLECT loop)."""
+    base_counts = [0] * 11
+    op_counts = [0] * 11
+    for op, length in tuples:
+        base_counts[op] += length
+        op_counts[op] += 1
+    ref_len = (base_counts[0] + base_counts[2] + base_counts[3]
+               + base_counts[7] + base_counts[8])
+    query_len = (base_counts[0] + base_counts[1] + base_counts[4]
+                 + base_counts[7] + base_counts[8])
+    read_len = query_len + base_counts[5]
+    start = 0
+    for op, length in tuples:
+        if op == 4:
+            start += length
+        elif op == 5:
+            continue
+        else:
+            break
+    end = query_len
+    for op, length in reversed(tuples):
+        if op == 4:
+            end -= length
+        elif op == 5:
+            continue
+        else:
+            break
+    return (base_counts, op_counts, ref_len, query_len, read_len, start, end)
+
+
 def cigar_stats(tuples):
     """(base counts per op, op occurrence counts) over 11 slots, mirroring
     pysam.AlignedSegment.get_cigar_stats (used by the reference at

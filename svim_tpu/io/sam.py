@@ -80,7 +80,8 @@ class AlignmentRecord:
     pipeline uses (coordinates 0-based, like BAM in memory)."""
 
     __slots__ = ("query_name", "flag", "reference_id", "reference_start",
-                 "mapping_quality", "cigartuples", "query_sequence",
+                 "mapping_quality", "_cigartuples", "_derived",
+                 "query_sequence",
                  "query_qualities", "next_reference_id", "next_reference_start",
                  "template_length", "tags")
 
@@ -93,7 +94,8 @@ class AlignmentRecord:
         self.reference_id = reference_id
         self.reference_start = reference_start
         self.mapping_quality = mapping_quality
-        self.cigartuples = cigartuples
+        self._cigartuples = cigartuples
+        self._derived = None
         self.query_sequence = query_sequence
         self.query_qualities = query_qualities
         self.next_reference_id = next_reference_id
@@ -120,47 +122,69 @@ class AlignmentRecord:
         return bool(self.flag & FREVERSE)
 
     # -- cigar-derived geometry ----------------------------------------------------
+    # pysam serves these accessors from C per call; here one cached pass
+    # (io/cigar.derived_stats) computes them all, invalidated when the
+    # CIGAR is reassigned.
+
+    @property
+    def cigartuples(self):
+        return self._cigartuples
+
+    @cigartuples.setter
+    def cigartuples(self, value):
+        self._cigartuples = value
+        self._derived = None
+
+    def _stats(self):
+        derived = self._derived
+        if derived is None:
+            derived = _cigar.derived_stats(self._cigartuples)
+            self._derived = derived
+        return derived
 
     @property
     def cigarstring(self):
-        return _cigar.cigar_to_string(self.cigartuples)
+        return _cigar.cigar_to_string(self._cigartuples)
 
     @cigarstring.setter
     def cigarstring(self, value):
-        self.cigartuples = _cigar.parse_cigar(value)
+        self._cigartuples = _cigar.parse_cigar(value)
+        self._derived = None
 
     @property
     def reference_end(self):
-        if self.cigartuples is None or self.reference_start < 0:
+        if self._cigartuples is None or self.reference_start < 0:
             return None
-        return self.reference_start + _cigar.reference_length(self.cigartuples)
+        return self.reference_start + self._stats()[2]
 
     @property
     def query_alignment_start(self):
-        if self.cigartuples is None:
+        if self._cigartuples is None:
             return None
-        return _cigar.query_alignment_bounds(self.cigartuples)[0]
+        return self._stats()[5]
 
     @property
     def query_alignment_end(self):
-        if self.cigartuples is None:
+        if self._cigartuples is None:
             return None
-        return _cigar.query_alignment_bounds(self.cigartuples)[1]
+        return self._stats()[6]
 
     def infer_query_length(self):
-        if self.cigartuples is None:
+        if self._cigartuples is None:
             return None
-        return _cigar.query_length(self.cigartuples, include_hard_clips=False)
+        return self._stats()[3]
 
     def infer_read_length(self):
         """Read length inferred from CIGAR, including hard-clipped bases
         (pysam semantics; consumed at SVIM_inter.py:31)."""
-        if self.cigartuples is None:
+        if self._cigartuples is None:
             return None
-        return _cigar.query_length(self.cigartuples, include_hard_clips=True)
+        return self._stats()[4]
 
     def get_cigar_stats(self):
-        return _cigar.cigar_stats(self.cigartuples)
+        base_counts, op_counts = self._stats()[:2]
+        # fresh lists per call (pysam returns new arrays; callers may mutate)
+        return list(base_counts), list(op_counts)
 
     # -- tags ----------------------------------------------------------------------
 
