@@ -171,7 +171,6 @@ def precompute_ins_edit_distances(samples, reference, options):
     assembled in C++ worker scratch from per-element sequences and one
     reference window per partition); forced backends fall back to explicit
     string pairs through batch_edit_distances."""
-    gate = 2 * options.cluster_max_distance
     backend = getattr(options, "edit_backend", "auto")
     native_indexed = _native_indexed_ed() if backend == "auto" else None
     cache = InsEditCache()
@@ -184,16 +183,11 @@ def precompute_ins_edit_distances(samples, reference, options):
         sample_type = getattr(sample, "type", None) or sample[0].type
         if sample_type != "INS":
             continue
-        starts, ends = _source_columns(sample)
-        spans = ends - starts
-        position_distance = (np.abs(starts[:, None] - starts[None, :])
-                             / options.position_distance_normalizer)
-        pairs_i, pairs_j = np.nonzero(np.triu(position_distance <= gate, k=1))
+        starts, _spans, pairs_i, pairs_j, hints = ins_near_pairs(sample,
+                                                                 options)
         if not len(pairs_i):
             continue
-        prepared.append((sample, starts,
-                         pairs_i.astype(np.int32), pairs_j.astype(np.int32),
-                         _ins_pair_hints(spans, starts, pairs_i, pairs_j)))
+        prepared.append((sample, starts, pairs_i, pairs_j, hints))
     if not prepared:
         return cache
 
@@ -292,6 +286,41 @@ def precompute_ins_edit_distances(samples, reference, options):
                 cache.pairs[key] = value
                 cache.pairs[(key[1], key[0])] = value
     return cache
+
+
+def ins_near_pairs(sample, options):
+    """Near-pair enumeration for one INS partition — the EXACT f64 np.triu
+    order distance_matrix() uses.  Returns (starts, spans, pairs_i, pairs_j,
+    hints)."""
+    starts, ends = _source_columns(sample)
+    spans = ends - starts
+    position_distance = (np.abs(starts[:, None] - starts[None, :])
+                         / options.position_distance_normalizer)
+    near = position_distance <= 2 * options.cluster_max_distance
+    pairs_i, pairs_j = np.nonzero(np.triu(near, k=1))
+    pairs_i = pairs_i.astype(np.int32)
+    pairs_j = pairs_j.astype(np.int32)
+    return (starts, spans, pairs_i, pairs_j,
+            _ins_pair_hints(spans, starts, pairs_i, pairs_j))
+
+
+def ins_haplotype_pairs(sample, starts, pairs_i, pairs_j, reference):
+    """Reference-padded haplotype string pairs for the given near pairs
+    (same assembly as the explicit-pairs route above /
+    SVIM_clustering.py:32-45)."""
+    window = PartitionWindow(reference, _element_contig(sample),
+                             int(starts.min()), int(starts.max()))
+    sequences = [element.sequence.upper() for element in sample]
+    pairs = []
+    for i, j in zip(pairs_i.tolist(), pairs_j.tolist()):
+        w_start = min(starts[i], starts[j]) - WINDOW_PADDING
+        w_end = max(starts[i], starts[j]) + WINDOW_PADDING
+        pairs.append((
+            window.slice(w_start, starts[i]) + sequences[i]
+            + window.slice(starts[i], w_end),
+            window.slice(w_start, starts[j]) + sequences[j]
+            + window.slice(starts[j], w_end)))
+    return pairs
 
 
 def ins_pair_distance(first, second, reference, options, ed_cache=None):

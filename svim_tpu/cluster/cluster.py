@@ -119,10 +119,18 @@ def dispatch_clusters_from_partitions(partitions, reference, options,
             work.samples.append(partition)
 
     # one batched edit-distance pass over every INS near pair of every
-    # partition: feeds the device wavefront kernel a full workload at once
+    # partition: feeds the device wavefront kernel a full workload at once.
+    # Under the device-resident route (--edit_backend wavefront) the
+    # 3..128-element partitions compute their eds ON DEVICE inside
+    # dispatch_ins_resident; precompute only what the host path will touch.
     if partitions and partitions[0] and _partition_type(partitions[0]) == "INS":
+        resident_mode = (
+            getattr(options, "edit_backend", "auto") == "wavefront"
+            and getattr(options, "cluster_backend", "device") != "exact")
         work.ed_cache = accel.precompute_ins_edit_distances(
-            [s for s in work.samples if len(s) >= 2], reference, options)
+            [s for s in work.samples
+             if len(s) >= 2 and not (resident_mode and 3 <= len(s) <= 128)],
+            reference, options)
 
     # device clustering (the default backend): all six types run as batched
     # on-device agglomerations; per-partition float32 ambiguity flags route

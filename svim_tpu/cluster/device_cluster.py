@@ -16,16 +16,21 @@ returns None and the caller re-runs it on the exact host path
 bit-identical to the reference (scipy linkage+fcluster over float64 —
 SVIM_clustering.py:159-171).
 
-Two routes:
-  * fused (DEL / INV / DUP_TAN): coordinates ship to the device; distance
-    matrix, same-read dedup (SVIM_clustering.py:145-151) and agglomeration
-    all happen in one batched call.
-  * matrix (INS / DUP_INT / BND and the DUP_INT candidate round): the exact
+Three routes:
+  * fused (DEL / INV / DUP_TAN / DUP_INT / BND): coordinates ship to the
+    device; distance matrix, same-read dedup (SVIM_clustering.py:145-151)
+    and agglomeration all happen in one batched call.
+  * matrix (INS default, and the DUP_INT candidate round): the exact
     float64 matrix is built on host (cluster/accel.py — edit distances,
     destination terms, direction walls), dedup happens on host in float64,
     and the device performs the agglomeration.  Partitions whose surviving
     matrix contains a 99999 wall (same-read survivors, BND direction
     mismatches) fall back to host.
+  * resident (INS with --edit_backend wavefront): haplotype edit distances
+    compute on device (wavefront kernel) and feed the on-device matrix
+    assembly + agglomeration without visiting the host
+    (dispatch_ins_resident) — all six types then run coordinates-in /
+    merges-out on the device.
 """
 
 from __future__ import annotations
@@ -53,11 +58,15 @@ _FUSED_KIND = {"DEL": KIND_SPAN_POSITION, "INV": KIND_SPAN_POSITION,
 
 # coordinate (fused) route: the device builds the distance matrix from int32
 # columns — DUP_INT adds a destination term, BND uses the /3000 formula with
-# direction-mismatch partitions arbitrated on host pre-dispatch.  INS stays
-# on the matrix route: its distances embed exact edit distances computed by
-# the native host batch (measured faster than the tunneled wavefront kernel
-# on every shape — cluster/edit_distance.py), so the f64 matrix already
-# exists on host and shipping it costs less than recomputing EDs on device.
+# direction-mismatch partitions arbitrated on host pre-dispatch.  INS
+# defaults to the matrix route: its distances embed exact edit distances
+# computed by the native host batch (measured faster than the tunneled
+# wavefront kernel on every shape — cluster/edit_distance.py), so the f64
+# matrix already exists on host and shipping it costs less than recomputing
+# EDs on device.  `--edit_backend wavefront` opts INS into the fully
+# device-resident route instead (dispatch_ins_resident: on-device eds ->
+# on-device matrices -> agglomeration, one batched fetch) for attached
+# silicon where the host core count is the scarce resource.
 FUSED_TYPES = ("DEL", "INV", "DUP_TAN", "DUP_INT", "BND")
 MATRIX_TYPES = ("INS",)
 DEVICE_TYPES = FUSED_TYPES + MATRIX_TYPES
@@ -227,7 +236,7 @@ class DeviceBatcher:
     the difference between ~10 round trips and ~2."""
 
     __slots__ = ("options", "fused_rows", "matrix_rows", "outputs",
-                 "fused_flushed")
+                 "fused_flushed", "extra_outputs")
 
     def __init__(self, options):
         self.options = options
@@ -235,6 +244,7 @@ class DeviceBatcher:
         self.matrix_rows = {}   # pad -> [float64 matrix]
         self.outputs = None
         self.fused_flushed = False
+        self.extra_outputs = {}  # routes dispatched eagerly (INS resident)
 
     def add_fused(self, sample, wall_same_read: bool, element_type: str = "DEL"):
         assert not self.fused_flushed, \
@@ -335,6 +345,10 @@ class DeviceBatcher:
     def device_outputs(self):
         """{bucket key: output tree} — fetch with one jax.device_get."""
         self.flush()
+        if self.extra_outputs:
+            merged = dict(self.outputs)
+            merged.update(self.extra_outputs)
+            return merged
         return self.outputs
 
 
@@ -345,7 +359,8 @@ class PendingDeviceClusters:
     type's work on one DeviceBatcher, flush once, fetch once, then consume
     each type from the shared fetched results."""
 
-    __slots__ = ("samples", "threshold", "batcher", "fused", "matrix", "ready")
+    __slots__ = ("samples", "threshold", "batcher", "fused", "matrix",
+                 "resident", "ready")
 
     def __init__(self, samples, threshold, batcher):
         self.samples = samples
@@ -353,6 +368,7 @@ class PendingDeviceClusters:
         self.batcher = batcher
         self.fused = []    # (sample index, batcher handle)
         self.matrix = []   # (sample index, survivors, matrix, reads, dropped, handle)
+        self.resident = []  # (index, sample, pairs_i, pairs_j, ed_slice, pad, row)
         self.ready = {}    # index -> DeviceClusterResult decided at dispatch
 
 
@@ -470,17 +486,23 @@ def _host_linkage_clusters(matrix, reads, survivors, threshold, wall_same_read):
 
 
 def _dispatch_matrix(samples, element_type, reference, options, ed_cache,
-                     batcher, dedup_same_read=True):
+                     batcher, dedup_same_read=True, indices=None,
+                     pending=None):
     """INS / DUP_INT / BND (and the candidate round): host float64 matrix +
     exact dedup, device agglomeration (rows registered on the batcher).
 
     Partitions the device cannot arbitrate — walls surviving into linkage at
     dispatch time, float32 ties at consume time — are resolved by exact host
-    linkage over the SAME float64 matrix (never rebuilt)."""
+    linkage over the SAME float64 matrix (never rebuilt).
+
+    `indices`/`pending` let the resident INS route register its same-read
+    partitions here under their original sample positions."""
     threshold = float(options.cluster_max_distance)
-    pending = PendingDeviceClusters(samples, threshold, batcher)
+    if pending is None:
+        pending = PendingDeviceClusters(samples, threshold, batcher)
     fallback = pending.ready
-    for index, sample in enumerate(samples):
+    indexed = enumerate(samples) if indices is None else zip(indices, samples)
+    for index, sample in indexed:
         matrix = accel.distance_matrix(sample, element_type, reference,
                                        options, ed_cache=ed_cache)
         dropped_count = 0
@@ -579,9 +601,151 @@ def dispatch_partitions_device(samples: List[list], element_type: str,
         return _dispatch_fused(samples, element_type, reference, options,
                                batcher)
     if element_type in MATRIX_TYPES:
+        if getattr(options, "edit_backend", "auto") == "wavefront":
+            return dispatch_ins_resident(samples, reference, options, batcher)
         return _dispatch_matrix(samples, element_type, reference, options,
                                 ed_cache, batcher)
     raise ValueError("unknown signature type {0}".format(element_type))
+
+
+def dispatch_ins_resident(samples, reference, options, batcher=None):
+    """Fully device-resident INS route (opt-in: --edit_backend wavefront).
+
+    Near-pair haplotype edit distances compute ON DEVICE (wavefront kernel;
+    the host-proven band hints make each pow4 band bucket exact in one
+    pass), the distance matrices assemble on device from integer columns
+    plus the still-resident ed values (ops.linkage_kernel.
+    ins_matrices_from_pairs), and the agglomeration is the same batched
+    kernel as the matrix route — the ed values never visit the host before
+    the stage's single batched fetch.  Contract: SVIM_clustering.py:64-77.
+
+    Partitions containing same-read duplicates register on the classic
+    matrix route under their original indices (exact dedup needs the f64
+    matrix); float32-ambiguous partitions rebuild the EXACT f64 matrix at
+    consume time from the fetched integer ed values and run exact host
+    linkage — so flat clusters stay bit-identical to the host path."""
+    import jax.numpy as jnp
+
+    from svim_tpu.ops.linkage_kernel import ins_matrices_from_pairs
+    from svim_tpu.ops.wavefront_kernel import batched_edit_distance_resident
+
+    if batcher is None:
+        batcher = DeviceBatcher(options)
+    threshold = float(options.cluster_max_distance)
+    pending = PendingDeviceClusters(samples, threshold, batcher)
+
+    resident = []   # (index, sample, starts, spans, pairs_i, pairs_j, hints)
+    classic_indices = []
+    classic_samples = []
+    for index, sample in enumerate(samples):
+        reads = accel.read_index_array(sample)
+        if len(np.unique(reads)) != len(reads):
+            classic_indices.append(index)
+            classic_samples.append(sample)
+            continue
+        starts, spans, pairs_i, pairs_j, hints = accel.ins_near_pairs(
+            sample, options)
+        resident.append((index, sample, starts, spans, pairs_i, pairs_j,
+                         hints))
+    if classic_samples:
+        ed_cache = accel.precompute_ins_edit_distances(classic_samples,
+                                                       reference, options)
+        _dispatch_matrix(classic_samples, "INS", reference, options,
+                         ed_cache, batcher, indices=classic_indices,
+                         pending=pending)
+    if not resident:
+        return pending
+
+    # one flat haplotype-pair list across every resident partition
+    all_pairs = []
+    all_hints = []
+    pair_offsets = []
+    for index, sample, starts, _spans, pairs_i, pairs_j, hints in resident:
+        pair_offsets.append(len(all_pairs))
+        if len(pairs_i):
+            all_pairs.extend(accel.ins_haplotype_pairs(
+                sample, starts, pairs_i, pairs_j, reference))
+            all_hints.extend(hints.tolist())
+    ed_all = (batched_edit_distance_resident(all_pairs, all_hints)
+              if all_pairs else jnp.zeros(1, dtype=jnp.int32))
+    batcher.extra_outputs[("ins_ed",)] = ed_all
+
+    buckets = {}
+    for slot, entry in enumerate(resident):
+        buckets.setdefault(_bucket(len(entry[1])), []).append(slot)
+    for pad, slots in sorted(buckets.items()):
+        batch = _round_up_pow2(len(slots))
+        col_starts = np.zeros((batch, pad), dtype=np.int32)
+        col_spans = np.zeros((batch, pad), dtype=np.int32)
+        valid = np.zeros((batch, pad), dtype=bool)
+        bucket_pairs = []   # (partition row, i, j, flat ed index)
+        for row, slot in enumerate(slots):
+            index, sample, starts, spans, pairs_i, pairs_j, _hints = \
+                resident[slot]
+            n = len(sample)
+            col_starts[row, :n] = starts
+            col_spans[row, :n] = spans
+            valid[row, :n] = True
+            offset = pair_offsets[slot]
+            for k in range(len(pairs_i)):
+                bucket_pairs.append((row, int(pairs_i[k]), int(pairs_j[k]),
+                                     offset + k))
+            pending.resident.append((index, sample, pairs_i, pairs_j,
+                                     offset, pad, row))
+        pair_pad = _round_up_pow2(max(len(bucket_pairs), 1))
+        # padding pairs scatter onto (0, 0, 0) — the masked diagonal
+        pair_part = np.zeros(pair_pad, dtype=np.int32)
+        pair_i = np.zeros(pair_pad, dtype=np.int32)
+        pair_j = np.zeros(pair_pad, dtype=np.int32)
+        gather = np.zeros(pair_pad, dtype=np.int32)
+        for k, (row, i, j, flat) in enumerate(bucket_pairs):
+            pair_part[k] = row
+            pair_i[k] = i
+            pair_j[k] = j
+            gather[k] = flat
+        pair_ed = ed_all[gather]
+        matrices = ins_matrices_from_pairs(
+            col_starts, col_spans, pair_part, pair_i, pair_j, pair_ed,
+            np.float32(options.position_distance_normalizer),
+            np.float32(options.edit_distance_normalizer))
+        batcher.extra_outputs[("ins_res", pad)] = agglomerate_batched(
+            matrices, valid)
+    return pending
+
+
+def _consume_resident(pending, fetched):
+    """Consume device-resident INS partitions: accept kernel labelings the
+    float32 guard clears; rebuild the EXACT f64 matrix from the fetched
+    integer ed values for the rest and run exact host linkage."""
+    results = {}
+    threshold = pending.threshold
+    options = pending.batcher.options
+    ed_all = fetched.get(("ins_ed",))
+    for (index, sample, pairs_i, pairs_j, offset, pad, row) in pending.resident:
+        merges_lo, merges_hi, heights, min_gap = fetched[("ins_res", pad)]
+        if float(min_gap[row]) < TIE_EPS:
+            labels = None
+        else:
+            labels = labels_from_merges(merges_lo[row], merges_hi[row],
+                                        heights[row], len(sample), threshold)
+        if labels is None:
+            TELEMETRY.post_tie += 1
+            values = np.asarray(ed_all[offset:offset + len(pairs_i)],
+                                dtype=np.int64)
+            cache = accel.InsEditCache()
+            cache.by_partition[id(sample)] = (pairs_i, pairs_j, values)
+            # exact f64 matrix, identical op order to the host path (the
+            # arrays route touches no reference window)
+            matrix = accel.distance_matrix(sample, "INS", None, options,
+                                           ed_cache=cache)
+            reads = accel.read_index_array(sample)
+            results[index] = DeviceClusterResult(_host_linkage_clusters(
+                matrix, reads, sample, threshold, True), 0)
+            continue
+        TELEMETRY.device += 1
+        results[index] = DeviceClusterResult(
+            _group_survivors(sample, labels), 0)
+    return results
 
 
 def consume_partitions_device(pending: PendingDeviceClusters, fetched=None):
@@ -603,7 +767,10 @@ def consume_partitions_device(pending: PendingDeviceClusters, fetched=None):
         fetched = jax.device_get(pending.batcher.device_outputs())
     if pending.fused:
         return _consume_fused(pending, fetched)
-    return _consume_matrix(pending, fetched)
+    results = _consume_matrix(pending, fetched)
+    if pending.resident:
+        results.update(_consume_resident(pending, fetched))
+    return results
 
 
 def cluster_partitions_device(samples: List[list], element_type: str,

@@ -127,6 +127,35 @@ def agglomerate_batched(distances, valid):
     return jax.vmap(_agglomerate_one, in_axes=(0, None))(d, steps)
 
 
+@jax.jit
+def ins_matrices_from_pairs(starts, spans, pair_part, pair_i, pair_j,
+                            pair_ed, pos_norm, ed_norm):
+    """Device-resident INS distance matrices (contract:
+    SVIM_clustering.py:64-77).
+
+    starts/spans: (B, P) int32 partition columns.  pair_*: flat near-pair
+    lists (enumerated on host in the exact f64 order distance_matrix uses);
+    pair_ed comes straight from the wavefront kernel and never visits the
+    host.  Far pairs get position + span distance; near pairs get position +
+    ed/max_span/ed_norm.  Diagonal/invalid slots are left arbitrary —
+    agglomerate_batched masks them.  Padding pairs may point at (0, 0, 0)
+    (the masked diagonal)."""
+    delta = jnp.abs(starts[:, :, None] - starts[:, None, :])  # int32: exact
+    pos = delta.astype(jnp.float32) / pos_norm
+    spans_f = spans.astype(jnp.float32)
+    max_span = jnp.maximum(spans_f[:, :, None], spans_f[:, None, :])
+    span_d = jnp.abs(spans_f[:, :, None] - spans_f[:, None, :]) \
+        / jnp.maximum(max_span, 1.0)
+    mat = pos + span_d
+    ed_term = (pos[pair_part, pair_i, pair_j]
+               + pair_ed.astype(jnp.float32)
+               / jnp.maximum(max_span[pair_part, pair_i, pair_j], 1.0)
+               / ed_norm)
+    mat = mat.at[pair_part, pair_i, pair_j].set(ed_term)
+    mat = mat.at[pair_part, pair_j, pair_i].set(ed_term)
+    return mat
+
+
 # --- fused span-position path (DEL / INV / DUP_TAN) ---------------------------
 
 WALL = jnp.float32(99999.0)

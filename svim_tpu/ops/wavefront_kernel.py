@@ -316,6 +316,65 @@ def _use_pallas_default() -> bool:
         return False
 
 
+def batched_edit_distance_resident(pairs, band_hints, use_pallas=None):
+    """Exact edit distances that STAY ON DEVICE (device-resident INS route).
+
+    Requires PROVEN per-pair upper bounds (`band_hints`): each pow4 band
+    bucket then resolves in exactly one pass — no data-dependent host
+    band-doubling loop — so the per-bucket outputs can be scattered into one
+    jnp.int64 array (input order) without ever fetching values to the host.
+    Downstream device consumers (ins_matrices_from_pairs ->
+    agglomerate_batched) read it directly; the host sees the values only in
+    the stage's single batched device_get."""
+    import jax.numpy as jnp
+
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
+    count = len(pairs)
+    host_fill = np.zeros(count, dtype=np.int32)
+    groups = {}
+    for idx, (a, b) in enumerate(pairs):
+        if len(a) == 0 or len(b) == 0:
+            host_fill[idx] = max(len(a), len(b))
+            continue
+        band = _pow4_at_least(int(band_hints[idx]) + 1, 64)
+        groups.setdefault(band, []).append(idx)
+    out = jnp.asarray(host_fill)
+    for band, indices in sorted(groups.items()):
+        subset = [pairs[i] for i in indices]
+        length = _pow2_at_least(max(max(len(a), len(b)) for a, b in subset),
+                                512)
+        band_eff = min(band, length)
+        if use_pallas:
+            chunk_size = max(_pallas_tile_b(length, band_eff), 8192)
+        else:
+            chunk_size = _batch_chunk_for(band_eff)
+        for chunk_start in range(0, len(subset), chunk_size):
+            chunk = subset[chunk_start:chunk_start + chunk_size]
+            pad = min(chunk_size, _pow2_at_least(len(chunk), 8))
+            a_codes = np.zeros((pad, length), dtype=np.uint8)
+            b_codes = np.zeros((pad, length), dtype=np.uint8)
+            a_codes[:len(chunk)] = _encode([a for a, _ in chunk], length)
+            b_codes[:len(chunk)] = _encode([b for _, b in chunk], length)
+            a_lens = np.zeros(pad, dtype=np.int32)
+            b_lens = np.zeros(pad, dtype=np.int32)
+            a_lens[:len(chunk)] = [len(a) for a, _ in chunk]
+            b_lens[:len(chunk)] = [len(b) for _, b in chunk]
+            if use_pallas:
+                tile_b = _pallas_tile_b(length, band_eff)
+                values = banded_distance_pallas(a_codes, a_lens, b_codes,
+                                                b_lens, band_eff,
+                                                tile_b=tile_b)
+            else:
+                values = banded_distance(a_codes, a_lens, b_codes, b_lens,
+                                         band_eff)
+            chunk_idx = np.asarray(indices[chunk_start:chunk_start
+                                           + len(chunk)], dtype=np.int32)
+            out = out.at[chunk_idx].set(
+                values[:len(chunk)].astype(jnp.int32))
+    return out
+
+
 def batched_edit_distance(pairs, initial_band: int = 64, band_hints=None,
                           use_pallas: bool = None):
     """Exact edit distances for a list of (a, b) string pairs on the device,
