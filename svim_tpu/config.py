@@ -77,6 +77,10 @@ class Config:
     zmws: bool = False
 
     # svim-tpu specific execution knobs (new capability; no reference analog)
+    plot_histtype: str = "stepfilled"  # "stepfilled" (one polygon per series,
+                                       # ~8x faster to render) | "bar" (the
+                                       # reference's exact per-bin patches,
+                                       # SVIM_plot.py:41-63)
     device_backend: str = "auto"       # "auto" | "tpu" | "cpu" | "host" (no kernels)
     edit_backend: str = "auto"         # "auto" | "wavefront" | "python"
     cluster_backend: str = "device"    # "device" (on-device agglomeration, exact
@@ -157,6 +161,9 @@ def _add_common_options(parser: argparse.ArgumentParser) -> None:
                         help="Represent interspersed duplications as insertions in output VCF (default: %(default)s).")
     output.add_argument("--insertion_sequences", action="store_true",
                         help="Output insertion sequences in INFO tag of VCF (default: %(default)s).")
+    output.add_argument("--plot_histtype", type=str, default=d.plot_histtype,
+                        choices=("stepfilled", "bar"),
+                        help="Length-histogram rendering: 'stepfilled' draws each stacked series as one polygon (faster); 'bar' reproduces the reference renderer's per-bin patches exactly (default: %(default)s).")
     output.add_argument("--read_names", action="store_true",
                         help="Output names of supporting reads in INFO tag of VCF (default: %(default)s).")
     output.add_argument("--zmws", action="store_true",

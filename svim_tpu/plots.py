@@ -37,31 +37,35 @@ def plot_sv_lengths(deletion_candidates, inversion_candidates,
             "INS": _lengths_above(novel_insertion_candidates, min_score, True),
         }
         _draw_sv_length_plot(lengths, os.path.join(
-            options.working_dir, "sv-lengths-{0}.png".format(suffix)))
+            options.working_dir, "sv-lengths-{0}.png".format(suffix)),
+            histtype=getattr(options, "plot_histtype", "stepfilled"))
 
 
-def _draw_sv_length_plot(dict_of_lengths, output):
-    # stepfilled renders each stacked series as ONE polygon instead of a
-    # Rectangle patch per bin (the reference's histtype="bar" draws ~2000
-    # patches per figure), and the pinned legend location skips matplotlib's
-    # O(patches) "best" placement search — together ~8x faster per figure
-    # with visually equivalent output at these bin widths
+def _draw_sv_length_plot(dict_of_lengths, output, histtype="stepfilled"):
+    # default "stepfilled" renders each stacked series as ONE polygon
+    # instead of a Rectangle patch per bin (the reference's histtype="bar"
+    # draws ~2000 patches per figure), and the pinned legend location skips
+    # matplotlib's O(patches) "best" placement search — together ~8x faster
+    # per figure with visually equivalent output at these bin widths.
+    # --plot_histtype bar reproduces the reference renderer exactly
+    # (per-bin patches, "best" legend placement; SVIM_plot.py:41-63).
     standard_order = ["DEL", "INS", "INV", "DUP_INT", "DUP_TAN"]
     names, lengths = zip(*sorted(dict_of_lengths.items(),
                                  key=lambda item: standard_order.index(item[0])))
+    legend_kw = {} if histtype == "bar" else {"loc": "upper right"}
     plt.subplot(2, 1, 1)
     plt.hist(x=lengths, bins=list(range(0, 2000, 10)), stacked=True,
-             histtype="stepfilled", label=names)
+             histtype=histtype, label=names)
     plt.xlabel("Length of structural variant")
     plt.ylabel("Number of variants")
-    plt.legend(frameon=False, fontsize="small", loc="upper right")
+    plt.legend(frameon=False, fontsize="small", **legend_kw)
 
     plt.subplot(2, 1, 2)
     plt.hist(x=lengths, bins=list(range(0, 20000, 100)), stacked=True,
-             histtype="stepfilled", label=names, log=True)
+             histtype=histtype, label=names, log=True)
     plt.xlabel("Length of structural variant")
     plt.ylabel("Number of variants")
-    plt.legend(frameon=False, fontsize="small", loc="upper right")
+    plt.legend(frameon=False, fontsize="small", **legend_kw)
     plt.tight_layout()
     plt.savefig(output)
     plt.clf()

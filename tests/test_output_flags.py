@@ -98,3 +98,31 @@ def test_insertion_removal_sweep():
     short_dup = CandidateDuplicationInterspersed("chr2", 100, 160, "chr1", 4990,
                                                  5050, members, 8, None, None)
     assert _remove_insertions_at_duplications([explained], [short_dup], []) == []
+
+
+def test_plot_histtype_bar(tmp_path):
+    """--plot_histtype bar reproduces the reference renderer's exact
+    hist/legend calls (SVIM_plot.py:41-63) without error."""
+    from svim_tpu.plots import plot_sv_lengths
+
+    class _Stub:
+        def __init__(self, length, score=8):
+            self.score = score
+            self._length = length
+
+        def get_source(self):
+            return ("chr1", 1000, 1000 + self._length)
+
+        def get_destination(self):
+            return ("chr1", 1000, 1000 + self._length)
+
+    class _Options:
+        working_dir = str(tmp_path)
+        plot_histtype = "bar"
+
+    candidates = [_Stub(60), _Stub(300), _Stub(1500), _Stub(12000)]
+    plot_sv_lengths(candidates, candidates[:2], candidates[:1],
+                    candidates[:3], candidates, _Options())
+    import os
+    assert os.path.exists(str(tmp_path) + "/sv-lengths-q5.png")
+    assert os.path.exists(str(tmp_path) + "/sv-lengths-q10.png")
