@@ -26,9 +26,13 @@ BGZF_EOF = bytes.fromhex(
 
 def read_bam(filename: str):
     """Decode a whole BAM file -> (AlignmentHeader, [AlignmentRecord])."""
-    with gzip.open(filename, "rb") as handle:
-        data = handle.read()
-    return parse_bam_bytes(data)
+    try:
+        with gzip.open(filename, "rb") as handle:
+            data = handle.read()
+        return parse_bam_bytes(data)
+    except (EOFError, OSError, struct.error, IndexError) as error:
+        raise ValueError("truncated or corrupt BAM file {0}: {1}".format(
+            filename, error)) from error
 
 
 def parse_bam_bytes(data: bytes):

@@ -150,7 +150,12 @@ def scan_bam(filename: str, min_mapq: int = 0, min_sv_size: int = 0):
     except Exception:
         data = None
     if data is None:
-        data = gzip.decompress(compressed)
+        try:
+            data = gzip.decompress(compressed)
+        except (EOFError, OSError) as error:
+            raise ValueError(
+                "truncated or corrupt BGZF input ({0} compressed bytes): {1}"
+                .format(len(compressed), error)) from error
     return scan_bam_bytes(data, min_mapq, min_sv_size)
 
 
@@ -204,6 +209,18 @@ class LazyStrings:
 
 def scan_bam_bytes(data: bytes, min_mapq: int = 0, min_sv_size: int = 0,
                    counted=None):
+    try:
+        return _scan_bam_bytes(data, min_mapq, min_sv_size, counted=counted)
+    except (struct.error, IndexError, UnicodeDecodeError) as error:
+        # a clean diagnostic instead of a raw unpack error (the reference
+        # surfaces pysam's "truncated file" here; svim:219-223 logs it)
+        raise ValueError(
+            "truncated or corrupt BAM stream ({0} inflated bytes): {1}"
+            .format(len(data), error)) from error
+
+
+def _scan_bam_bytes(data: bytes, min_mapq: int = 0, min_sv_size: int = 0,
+                    counted=None):
     if data[:4] != b"BAM\x01":
         raise ValueError("not a BAM stream")
     # native fast path: C++ record walk straight into packed columns

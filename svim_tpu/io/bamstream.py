@@ -66,6 +66,11 @@ def scan_bgzf_blocks(data) -> Iterator[Tuple[int, int, int]]:
             extra += 4 + slen
         if bsize is None:
             raise ValueError("BGZF member without BC subfield")
+        if offset + bsize > size:
+            raise ValueError(
+                "truncated or corrupt BGZF stream: member at offset {0} "
+                "claims {1} bytes but only {2} remain".format(
+                    offset, bsize, size - offset))
         (isize,) = struct.unpack_from("<I", data, offset + bsize - 4)
         yield offset, bsize, isize
         offset += bsize

@@ -356,7 +356,12 @@ def _read_sam_text(handle):
         if header is None:
             header = AlignmentHeader.from_text("\n".join(header_lines))
         if line.strip():
-            records.append(parse_sam_line(line, header))
+            try:
+                records.append(parse_sam_line(line, header))
+            except (ValueError, IndexError) as error:
+                raise ValueError(
+                    "input is not valid SAM (record line {0}: {1!r}...): {2}"
+                    .format(len(records) + 1, line[:60], error)) from error
     if header is None:
         header = AlignmentHeader.from_text("\n".join(header_lines))
     return header, records

@@ -20,6 +20,25 @@ from svim_tpu.cli import main
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+def _run_cli(arguments):
+    """main() with the run-log tail attached to failures (this module saw a
+    once-in-many-runs rc=1 under box load that vanished on re-run; capture
+    the actual logged exception if it ever recurs)."""
+    import glob
+
+    rc = main(arguments)
+    if rc != 0:
+        wd = arguments[1]
+        logs = sorted(glob.glob(os.path.join(wd, "SVIM_*.log")))
+        tail = ""
+        if logs:
+            with open(logs[-1]) as handle:
+                tail = "".join(handle.readlines()[-30:])
+        raise AssertionError("pipeline rc={0}\n--- run log tail ---\n{1}"
+                             .format(rc, tail))
+    return rc
+
+
 _ALIGNER_STUB = '''#!{python}
 import os, sys
 with open(os.environ["SVIM_STUB_LOG"], "a") as log:
@@ -125,7 +144,7 @@ def _stub_calls(log_path):
 def test_reads_mode_end_to_end(stub_env):
     tmp_path, reads_path, genome_path, log_path = stub_env
     wd = str(tmp_path / "wd")
-    assert main(["reads", wd, reads_path, genome_path]) == 0
+    _run_cli(["reads", wd, reads_path, genome_path])
 
     # pipeline construction: aligner ran, view/sort/index ran, BAM cached
     calls = _stub_calls(log_path)
@@ -143,7 +162,7 @@ def test_reads_mode_end_to_end(stub_env):
 
     # cache reuse: a second run must not re-run the aligner
     before = len(_stub_calls(log_path))
-    assert main(["reads", wd, reads_path, genome_path]) == 0
+    _run_cli(["reads", wd, reads_path, genome_path])
     after = _stub_calls(log_path)
     assert len(after) == before  # no new aligner/samtools invocations
 
@@ -151,8 +170,8 @@ def test_reads_mode_end_to_end(stub_env):
 def test_reads_mode_nanopore_minimap2(stub_env):
     tmp_path, reads_path, genome_path, log_path = stub_env
     wd = str(tmp_path / "wd_ont")
-    assert main(["reads", wd, reads_path, genome_path,
-                 "--aligner", "minimap2", "--nanopore", "--cores", "3"]) == 0
+    _run_cli(["reads", wd, reads_path, genome_path,
+              "--aligner", "minimap2", "--nanopore", "--cores", "3"])
     calls = _stub_calls(log_path)
     minimap = [call for call in calls if call.startswith("minimap2")]
     assert minimap and "-x map-ont" in minimap[0] and "-t 3" in minimap[0]
@@ -167,7 +186,7 @@ def test_reads_mode_ngmlr_nanopore_gzip(stub_env):
     with gzip.open(gz_path, "wt") as handle:
         handle.write("@read0\nACGT\n+\n!!!!\n")
     wd = str(tmp_path / "wd_gz")
-    assert main(["reads", wd, gz_path, genome_path, "--nanopore"]) == 0
+    _run_cli(["reads", wd, gz_path, genome_path, "--nanopore"])
     calls = _stub_calls(log_path)
     ngmlr = [call for call in calls if call.startswith("ngmlr")]
     assert ngmlr and "-x ont" in ngmlr[0] and "-q" not in ngmlr[0]
@@ -182,7 +201,7 @@ def test_reads_mode_file_list(stub_env):
     list_path = tmp_path / "inputs.fq.fn"
     list_path.write_text(reads_path + "\n" + str(second) + "\n")
     wd = str(tmp_path / "wd_list")
-    assert main(["reads", wd, str(list_path), genome_path]) == 0
+    _run_cli(["reads", wd, str(list_path), genome_path])
     calls = _stub_calls(log_path)
     assert sum(1 for call in calls if call.startswith("ngmlr")) == 2
     assert os.path.exists(os.path.join(wd, "sample.ngmlr.coordsorted.bam"))
