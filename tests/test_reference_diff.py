@@ -90,3 +90,27 @@ def test_reference_vcf_parity_flagged(sim_dataset):
     _run_reference(wd_ref, bam, genome, extra=flags)
     assert main(["alignment", wd_ours, bam, genome] + flags) == 0
     _diff_tree(wd_ref, wd_ours)
+
+
+@pytest.mark.parametrize("flags", [
+    # duplication re-representation sweeps (SVIM_COMBINE.py dual DUP forms)
+    ["--tandem_duplications_as_insertions",
+     "--interspersed_duplications_as_insertions"],
+    # symbolic alleles + consensus skipped (the py-cpuinfo-gated reference
+    # path) + type subset filtering
+    ["--symbolic_alleles", "--skip_consensus", "--types", "DEL,INS,BND"],
+    # thresholds that reroute clustering/genotyping decisions
+    ["--minimum_depth", "1", "--partition_max_distance", "600",
+     "--cluster_max_distance", "0.4", "--minimum_score", "1"],
+], ids=["dup-as-ins", "symbolic-subset", "thresholds"])
+def test_reference_vcf_parity_flag_matrix(sim_dataset, flags):
+    """Flag-combination sweep: every combination must hold byte parity with
+    the unmodified reference — mis-ported thresholds and rerouted COMBINE
+    branches hide exactly here."""
+    out, bam, genome = sim_dataset
+    tag = "_".join(flag.strip("-") for flag in flags)[:40]
+    wd_ref = os.path.join(out, "wd_ref_" + tag)
+    wd_ours = os.path.join(out, "wd_ours_" + tag)
+    _run_reference(wd_ref, bam, genome, extra=flags)
+    assert main(["alignment", wd_ours, bam, genome] + flags) == 0
+    _diff_tree(wd_ref, wd_ours)
