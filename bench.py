@@ -195,7 +195,9 @@ def _reference_baseline_measurement(tmp_dir, bam_path, genome_path):
 
     best = float("inf")
     n_sigs = 0
-    for _ in range(2):  # first pass warms scipy/.fai; best-of-2 vs box noise
+    # first pass warms scipy/.fai; best-of-3 because this box's multi-100ms
+    # stalls move single measurements ±30% (same policy as the array side)
+    for _ in range(3):
         bam = pysam.AlignmentFile(bam_path)
         t0 = time.perf_counter()
         signatures, _trans = analyze_alignment_file_coordsorted(bam, options)
