@@ -29,7 +29,7 @@ N_READS = int(os.environ.get("SVIM_BENCH_READS", "8192"))
 # nonlinear in signature density, so subsampled baselines extrapolate wrong)
 BASELINE_SAMPLE = int(os.environ.get("SVIM_BENCH_BASELINE_READS", "0"))
 READ_LENGTH_OPS = 3000          # CIGAR ops per read (ONT-like noise)
-REPEATS = int(os.environ.get("SVIM_BENCH_REPEATS", "3"))
+REPEATS = int(os.environ.get("SVIM_BENCH_REPEATS", "5"))
 
 
 COVERAGE = 24          # reads supporting each simulated SV locus
