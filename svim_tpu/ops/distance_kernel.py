@@ -5,6 +5,14 @@ Device counterpart of svim_tpu.cluster.accel / svim_tpu.cluster.distance
 fixed P (tile-aligned, 128) and processed as (B, P) struct-of-arrays ->
 (B, P, P) distance tensors.  Two implementations: a jnp version XLA fuses on
 the VPU, and a Pallas kernel tiled 128x128 for TPU.
+
+Role: the production CLUSTER stage builds its matrices inside the fused
+agglomeration kernel (ops/linkage_kernel.span_position_agglomerate_batched
+— matrix + dedup + linkage in ONE program, no (B, P, P) tensor ever hits
+HBM).  This standalone kernel remains the isolated reference
+implementation of the distance contract (pinned against the host oracle
+and sharded over a virtual mesh in tests/test_parallel.py) and the
+starting point for any consumer that needs raw distance tensors.
 """
 
 from __future__ import annotations
