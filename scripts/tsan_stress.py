@@ -68,9 +68,23 @@ def main():
 
     def inflate_loop():
         try:
+            from svim_tpu.io.packing import bucket_size
             for _ in range(6):
                 native.bgzf_decompress_parallel(compressed, n_threads=4)
-                native.bam_scan_fused(compressed, 20, 40, n_threads=4)
+                data, counted = native.bam_scan_fused(compressed, 20, 40,
+                                                      n_threads=4)
+                native.bgzf_decompress_with_prefix(compressed, b"carrybytes",
+                                                   n_threads=4)
+                # streaming-path pools: carve + threaded cigar compaction
+                body_offset = counted[2]
+                carved = native.bam_carve_window(bytes(data), body_offset,
+                                                 0, 4096)
+                if carved is not None:
+                    columns, _consumed, _exhausted = carved
+                    if len(columns["ref_id"]):
+                        native.cigar_compact_rows(
+                            bytes(data), columns["cigar_off"],
+                            columns["n_cigar"], 40, bucket_size)
         except Exception as error:  # pragma: no cover
             errors.append(error)
 

@@ -223,16 +223,15 @@ def collect_soa_from_bam(bam_path: str, options):
     """COLLECT straight from a BAM into struct-of-arrays tables.
 
     Returns (header, table, SignatureSoA, twins).  Large inputs stream
-    through the object path and convert (bounded memory wins over the
-    conversion cost there); the one-shot path builds the tables directly."""
+    with bounded memory, each batch appending straight to shared SoA tables
+    (no Signature objects for the dense mass); the one-shot path builds the
+    tables in one pass."""
     import os
 
     if (getattr(options, "stream_input", False)
             or os.path.getsize(bam_path) > STREAMING_THRESHOLD_BYTES):
-        from svim_tpu.sigtable import soa_from_signatures
-        header, table, signatures, twins = collect_signatures_from_bam(
-            bam_path, options)
-        return header, table, soa_from_signatures(signatures), twins
+        from svim_tpu.io.bamstream import collect_streaming
+        return collect_streaming(bam_path, options, soa=True)
     from svim_tpu.io.bamscan import scan_bam
     header, packed, sa_tags = scan_bam(bam_path, options.min_mapq,
                                        options.min_sv_size)
@@ -421,7 +420,8 @@ def _emit_indel_events(packed, events, getrname, options,
 
 
 def _emit_indel_events_soa(packed, events, getrname, options, builders,
-                           contigs_pool, reads_pool, twin_rows):
+                           contigs_pool, reads_pool, twin_rows,
+                           tag_offset=0):
     """SoA materialization of CIGAR indel events: the whole batch becomes
     table columns in a few vectorized passes — no Signature objects, no
     per-event Python loop for DEL/INS (all_bnds twins stay objects: rare and
@@ -448,7 +448,7 @@ def _emit_indel_events_soa(packed, events, getrname, options, builders,
 
     del_mask = ~ins_mask
     if del_mask.any():
-        builders["DEL"].add_chunk(rows[del_mask], {
+        builders["DEL"].add_chunk(rows[del_mask] + tag_offset, {
             "contig_code": contig_codes[del_mask],
             "start": starts[del_mask],
             "end": starts[del_mask] + lengths_arr[del_mask],
@@ -465,7 +465,7 @@ def _emit_indel_events_soa(packed, events, getrname, options, builders,
                          if not ins]
             for row, contig, start, end, name in zip(
                     del_rows, contig_names, del_starts, del_ends, del_names):
-                twin_rows.append((row, SignatureTranslocation(
+                twin_rows.append((row + tag_offset, SignatureTranslocation(
                     contig, start, "fwd", contig, end, "fwd", "cigar", name)))
     if ins_mask.any():
         ins_read_pos = np.asarray(pos_read, dtype=np.int64)[ins_mask]
@@ -477,7 +477,7 @@ def _emit_indel_events_soa(packed, events, getrname, options, builders,
         seq_off = np.zeros(len(seqs), dtype=np.int64)
         if len(seqs) > 1:
             np.cumsum(seq_lens[:-1], out=seq_off[1:])
-        builders["INS"].add_chunk(rows[ins_mask], {
+        builders["INS"].add_chunk(rows[ins_mask] + tag_offset, {
             "contig_code": contig_codes[ins_mask],
             "start": starts[ins_mask],
             "end": starts[ins_mask] + lengths_arr[ins_mask],
@@ -489,26 +489,59 @@ def _emit_indel_events_soa(packed, events, getrname, options, builders,
         })
 
 
+class SoAState:
+    """Shared accumulation state for multi-batch SoA COLLECT (streaming):
+    every batch appends to the same builders/pools with globally increasing
+    row tags; finalize() restores the sequential emission order once."""
+
+    __slots__ = ("builders", "contigs_pool", "reads_pool", "twin_rows")
+
+    def __init__(self):
+        from svim_tpu.sigtable import SIG_TYPES, StringPool, TableBuilder
+
+        self.contigs_pool = StringPool()
+        self.reads_pool = StringPool()
+        self.builders = {sig_type: TableBuilder(sig_type, self.contigs_pool,
+                                                self.reads_pool)
+                         for sig_type in SIG_TYPES}
+        self.twin_rows = []  # (global row tag, SignatureTranslocation)
+
+    def finalize(self):
+        from svim_tpu.sigtable import SignatureSoA
+
+        self.twin_rows.sort(key=lambda pair: pair[0])
+        twins = [twin for _, twin in self.twin_rows]
+        soa = SignatureSoA(
+            {t: b.finalize() for t, b in self.builders.items()},
+            self.contigs_pool, self.reads_pool)
+        return soa, twins
+
+
 def signatures_from_packed_soa(packed, sa_tags, name_table, options,
-                               dispatched=None):
+                               dispatched=None, state=None,
+                               row_tag_offset=0):
     """signatures_from_packed with struct-of-arrays output.
 
     Returns (SignatureSoA, twins) where twins is the all_bnds object list.
     CIGAR indel events (the dense mass) become table columns directly;
     split-read signatures run through the object emitters (sparse) and are
     appended to the tables with their packed-row tags, so each table's row
-    order equals the object path's per-type signature order exactly."""
-    from svim_tpu.sigtable import SIG_TYPES, SignatureSoA, StringPool, TableBuilder
+    order equals the object path's per-type signature order exactly.
+
+    `state`/`row_tag_offset` serve the streaming scanner: batches append to
+    one shared SoAState under globally increasing row tags and the caller
+    finalizes once (this call then returns (None, None))."""
+    shared = state is not None
+    if state is None:
+        state = SoAState()
+    builders = state.builders
+    contigs_pool = state.contigs_pool
+    reads_pool = state.reads_pool
+    twin_rows = state.twin_rows
 
     getrname = (name_table.getrname if hasattr(name_table, "getrname")
                 else name_table.get_reference_name)
     get_tid = name_table.get_tid
-
-    contigs_pool = StringPool()
-    reads_pool = StringPool()
-    builders = {sig_type: TableBuilder(sig_type, contigs_pool, reads_pool)
-                for sig_type in SIG_TYPES}
-    twin_rows = []  # (row tag, SignatureTranslocation)
 
     if packed.n == 0:
         if packed.ref_end is None:
@@ -518,8 +551,7 @@ def signatures_from_packed_soa(packed, sa_tags, name_table, options,
             packed.qa_start = empty
             packed.qa_end = empty
             packed.has_hard_clip = np.zeros(0, dtype=bool)
-        return (SignatureSoA({t: b.finalize() for t, b in builders.items()},
-                             contigs_pool, reads_pool), [])
+        return (None, None) if shared else state.finalize()
 
     if dispatched is None:
         dispatched = dispatch_collect_scan(packed, options)
@@ -569,7 +601,8 @@ def signatures_from_packed_soa(packed, sa_tags, name_table, options,
         fetched_classify = None
     events = _consume_collect(packed, rerun, max_events, fetched_collect)
     _emit_indel_events_soa(packed, events, getrname, options, builders,
-                           contigs_pool, reads_pool, twin_rows)
+                           contigs_pool, reads_pool, twin_rows,
+                           tag_offset=row_tag_offset)
 
     # split-read signatures stay on the object emitters (sparse); they join
     # the tables with row tags so ordering matches the object path
@@ -597,16 +630,14 @@ def signatures_from_packed_soa(packed, sa_tags, name_table, options,
             for sig in sigs:
                 per_type.setdefault(sig.type, []).append((row, sig))
         for sig_type, tagged in per_type.items():
-            builders[sig_type].add_objects([tag for tag, _ in tagged],
-                                           [sig for _, sig in tagged])
+            builders[sig_type].add_objects(
+                [tag + row_tag_offset for tag, _ in tagged],
+                [sig for _, sig in tagged])
     for row, twin_list in split_twins.items():
         for twin in twin_list:
-            twin_rows.append((row, twin))
+            twin_rows.append((row + row_tag_offset, twin))
 
-    twin_rows.sort(key=lambda pair: pair[0])
-    twins = [twin for _, twin in twin_rows]
-    return (SignatureSoA({t: b.finalize() for t, b in builders.items()},
-                         contigs_pool, reads_pool), twins)
+    return (None, None) if shared else state.finalize()
 
 
 def signatures_from_packed(packed, sa_tags, name_table, options,

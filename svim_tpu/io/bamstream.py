@@ -22,7 +22,7 @@ from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 
-from svim_tpu.io.bamscan import LazySequences, build_packed
+from svim_tpu.io.bamscan import LazySequences, LazyStrings, build_packed
 from svim_tpu.io.packing import bucket_size
 from svim_tpu.io.sam import AlignmentHeader
 
@@ -76,18 +76,22 @@ def scan_bgzf_blocks(data) -> Iterator[Tuple[int, int, int]]:
         offset += bsize
 
 
-def _decompress_window(data, blocks) -> bytes:
+def _decompress_window(data, blocks, prefix=b"") -> bytes:
+    """Inflate a BGZF block range into a buffer that starts with `prefix`
+    (the carried partial record from the previous window) — one small
+    prefix copy instead of concatenating carry + the whole inflated
+    window."""
     start = blocks[0][0]
     end = blocks[-1][0] + blocks[-1][1]
     window = bytes(data[start:end])
     try:
         from svim_tpu import native
-        out = native.bgzf_decompress_parallel(window)
+        out = native.bgzf_decompress_with_prefix(window, prefix)
         if out is not None:
             return out
     except Exception:
         pass
-    return gzip.decompress(window)
+    return prefix + gzip.decompress(window)
 
 
 class StreamedBatch:
@@ -147,18 +151,18 @@ def stream_bam(path: str, min_mapq: int, batch_reads: int = 4096,
     pending_blocks = []
     pending_out = 0
 
-    def next_window() -> Optional[bytes]:
+    def next_window(prefix=b"") -> Optional[bytes]:
         nonlocal pending_blocks, pending_out
         for block in block_iter:
             pending_blocks.append(block)
             pending_out += block[2]
             if pending_out >= WINDOW_UNCOMPRESSED:
-                window = _decompress_window(data, pending_blocks)
+                window = _decompress_window(data, pending_blocks, prefix)
                 pending_blocks = []
                 pending_out = 0
                 return window
         if pending_blocks:
-            window = _decompress_window(data, pending_blocks)
+            window = _decompress_window(data, pending_blocks, prefix)
             pending_blocks = []
             pending_out = 0
             return window
@@ -172,10 +176,10 @@ def stream_bam(path: str, min_mapq: int, batch_reads: int = 4096,
         header_end = _try_header_end(buffer)
         if header_end is not None:
             break
-        more = next_window()
+        more = next_window(prefix=bytes(buffer))
         if more is None:
             raise ValueError("truncated BAM header")
-        buffer = buffer + more
+        buffer = more
     header, body_offset = _parse_header(buffer)
     yield header
 
@@ -183,6 +187,8 @@ def stream_bam(path: str, min_mapq: int, batch_reads: int = 4096,
     row_offset = 0
     rows: List[tuple] = []   # (ref_id, pos, mapq, flag, name, cigar_off, n_cigar, seq_off, l_seq, sa)
     max_ops = 1
+    pending_columns: List[dict] = []   # carve results for the current batch
+    pending_count = 0
 
     def flush():
         nonlocal rows, max_ops, row_offset
@@ -194,6 +200,23 @@ def stream_bam(path: str, min_mapq: int, batch_reads: int = 4096,
         max_ops = 1
         return batch
 
+    def flush_columns():
+        nonlocal pending_columns, pending_count, max_ops, row_offset
+        if not pending_count:
+            return None
+        if len(pending_columns) == 1:
+            columns = pending_columns[0]
+        else:
+            columns = {key: np.concatenate([c[key] for c in pending_columns])
+                       for key in pending_columns[0]}
+        batch = _pack_columns(columns, max_ops, buffer, row_offset,
+                              min_sv_size)
+        row_offset += pending_count
+        pending_columns = []
+        pending_count = 0
+        max_ops = 1
+        return batch
+
     try:
         from svim_tpu import native
         carver = native.bam_carve_window if native.get_library() else None
@@ -202,46 +225,46 @@ def stream_bam(path: str, min_mapq: int, batch_reads: int = 4096,
 
     def roll_window():
         """Carry trailing partial bytes into a fresh window; returns False at
-        end of stream."""
+        end of stream.  The carry (at most one partial record, <=64 KB-ish)
+        is the only copied data: the next window inflates directly behind
+        it (bgzf_decompress_with_prefix)."""
         nonlocal buffer, position
-        carry = buffer[position:]
-        nxt = next_window()
+        carry = bytes(buffer[position:])
+        nxt = next_window(prefix=carry)
         if nxt is None:
             if carry:
                 raise ValueError("truncated BAM record")
             return False
-        buffer = carry + nxt
+        buffer = nxt
         position = 0
         return True
 
     while True:
         if carver is not None:
-            carved = carver(buffer, position, min_mapq, batch_reads - len(rows))
+            carved = carver(buffer, position, min_mapq,
+                            batch_reads - pending_count)
         else:
             carved = None
         if carved is not None:
-            columns, consumed, exhausted = carved
+            # columns stay numpy arrays end-to-end: names/sequences/SA decode
+            # lazily from the window buffer exactly like the one-shot
+            # scanner's batches (no per-record Python tuples)
+            columns, consumed, _exhausted = carved
             count = len(columns["ref_id"])
-            for k in range(count):
-                name_start = columns["name_off"][k]
-                sa_start = columns["sa_off"][k]
-                sa = (buffer[sa_start:sa_start + columns["sa_len"][k]].decode()
-                      if sa_start >= 0 else None)
-                rows.append((columns["ref_id"][k], columns["pos"][k],
-                             columns["mapq"][k], columns["flag"][k],
-                             buffer[name_start:name_start + columns["name_len"][k]].decode(),
-                             columns["cigar_off"][k], columns["n_cigar"][k],
-                             columns["seq_off"][k], columns["seq_len"][k], sa))
-                if columns["n_cigar"][k] > max_ops:
-                    max_ops = int(columns["n_cigar"][k])
+            if count:
+                pending_columns.append(columns)
+                pending_count += count
+                top = int(columns["n_cigar"].max())
+                if top > max_ops:
+                    max_ops = top
             position = consumed
-            if len(rows) >= batch_reads:
-                yield flush()
+            if pending_count >= batch_reads:
+                yield flush_columns()
                 continue  # budget reset; keep carving this window
             # under budget: the window is exhausted or ends in a partial
-            # record — emit what we have (rows reference this buffer) and roll
-            del count, exhausted
-            flushed = flush()
+            # record — emit what we have (columns reference this buffer)
+            # and roll
+            flushed = flush_columns()
             if flushed is not None:
                 yield flushed
             if not roll_window():
@@ -352,6 +375,68 @@ def _parse_header(buffer):
     return header, offset
 
 
+def _pack_columns(columns, max_ops, buffer, row_offset,
+                  min_sv_size: int = 0) -> StreamedBatch:
+    """StreamedBatch straight from carve column arrays — no per-record
+    Python.  Names, sequences and SA tags decode lazily from the window
+    buffer (LazyStrings / LazySequences), matching the one-shot scanner."""
+    n_real = len(columns["ref_id"])
+    n_pad = _row_bucket(n_real)
+    k = bucket_size(max_ops)
+    cigar_words = None
+    if min_sv_size > 0 and n_real:
+        try:
+            from svim_tpu import native
+            compact = native.cigar_compact_rows(
+                buffer, columns["cigar_off"], columns["n_cigar"],
+                min_sv_size, bucket_size)
+        except Exception:
+            compact = None
+        if compact is not None:
+            k = compact.shape[1]
+            cigar_words = np.zeros((n_pad, k), dtype=np.int32)
+            cigar_words[:n_real] = compact
+    if cigar_words is None:
+        cigar_words = np.zeros((n_pad, k), dtype=np.int32)
+        if min_sv_size > 0:
+            from svim_tpu.io.packing import compact_cigar_row
+        for row in range(n_real):
+            n_cigar = int(columns["n_cigar"][row])
+            if not n_cigar:
+                continue
+            words = np.frombuffer(buffer, dtype="<i4", count=n_cigar,
+                                  offset=int(columns["cigar_off"][row]))
+            if min_sv_size > 0:
+                compacted_row = compact_cigar_row(words, min_sv_size)
+                if compacted_row is not None:
+                    cigar_words[row, :len(compacted_row)] = compacted_row
+                    continue
+            cigar_words[row, :n_cigar] = words
+
+    def pad_column(values, dtype, fill=0):
+        out = np.full(n_pad, fill, dtype=dtype)
+        out[:n_real] = values
+        return out
+
+    ref_id = pad_column(columns["ref_id"], np.int32, -1)
+    ref_start = pad_column(columns["pos"], np.int32)
+    mapq = pad_column(columns["mapq"], np.int32)
+    flag = pad_column(columns["flag"], np.int32)
+    names = LazyStrings(buffer,
+                        pad_column(columns["name_off"], np.int64, -1),
+                        pad_column(columns["name_len"], np.int64))
+    sequences = LazySequences(buffer,
+                              pad_column(columns["seq_off"], np.int64),
+                              pad_column(columns["seq_len"], np.int64))
+    sa_tags = LazyStrings(buffer,
+                          pad_column(columns["sa_off"], np.int64, -1),
+                          pad_column(columns["sa_len"], np.int64),
+                          none_when_negative=True)
+    packed = build_packed(ref_id, ref_start, mapq, flag, cigar_words, names,
+                          sequences)
+    return StreamedBatch(packed, sa_tags, row_offset, n_real)
+
+
 def _pack_rows(rows, max_ops, buffer, row_offset,
                min_sv_size: int = 0) -> StreamedBatch:
     n_real = len(rows)
@@ -442,11 +527,19 @@ def _prefetch(iterator, depth: int = 2):
         yield item
 
 
-def collect_streaming(path: str, options):
+def collect_streaming(path: str, options, soa: bool = False):
     """Streaming COLLECT: bounded-memory scan -> per-batch device kernels.
 
-    Returns (header, GenotypeTable, signatures, twins)."""
-    from svim_tpu.collect.packed import dispatch_collect_scan, signatures_from_packed
+    Returns (header, GenotypeTable, signatures, twins); with soa=True the
+    signatures come back as one SignatureSoA built incrementally (no
+    Signature objects for the dense mass — same fast shape as the one-shot
+    scanner)."""
+    from svim_tpu.collect.packed import (
+        SoAState,
+        dispatch_collect_scan,
+        signatures_from_packed,
+        signatures_from_packed_soa,
+    )
 
     stream = _prefetch(stream_bam(path, options.min_mapq, options.batch_reads,
                                   min_sv_size=options.min_sv_size),
@@ -454,6 +547,7 @@ def collect_streaming(path: str, options):
     header = next(stream)
     signatures = []
     twins = []
+    state = SoAState() if soa else None
     ref_id_parts = []
     ref_start_parts = []
     ref_end_parts = []
@@ -461,16 +555,27 @@ def collect_streaming(path: str, options):
     names_all: List[str] = []
 
     def consume(batch, dispatched):
-        batch_sigs, batch_twins = signatures_from_packed(
-            batch.packed, batch.sa_tags, header, options, dispatched=dispatched)
-        signatures.extend(batch_sigs)
-        twins.extend(batch_twins)
+        if soa:
+            signatures_from_packed_soa(
+                batch.packed, batch.sa_tags, header, options,
+                dispatched=dispatched, state=state,
+                row_tag_offset=batch.row_offset)
+        else:
+            batch_sigs, batch_twins = signatures_from_packed(
+                batch.packed, batch.sa_tags, header, options,
+                dispatched=dispatched)
+            signatures.extend(batch_sigs)
+            twins.extend(batch_twins)
         n = batch.n_real
         ref_id_parts.append(np.asarray(batch.packed.ref_id[:n]))
         ref_start_parts.append(np.asarray(batch.packed.ref_start[:n]))
         ref_end_parts.append(np.asarray(batch.packed.ref_end[:n]))
         mapq_parts.append(np.asarray(batch.packed.mapq[:n]))
-        names_all.extend(batch.packed.names[row] for row in range(n))
+        take = getattr(batch.packed.names, "take", None)
+        if take is not None:
+            names_all.extend(take(np.arange(n)))
+        else:
+            names_all.extend(batch.packed.names[row] for row in range(n))
 
     # two-deep pipeline: batch N+1's device pass runs while batch N's events
     # materialize on the host
@@ -490,4 +595,7 @@ def collect_streaming(path: str, options):
     else:
         table = GenotypeTable(np.zeros(0, np.int32), np.zeros(0, np.int64),
                               np.zeros(0, np.int64), np.zeros(0, np.int32), [])
+    if soa:
+        soa_tables, twins = state.finalize()
+        return header, table, soa_tables, twins
     return header, table, signatures, twins

@@ -127,11 +127,11 @@ def get_library():
         lib.cigar_compact_counts.restype = ctypes.c_int
         lib.cigar_compact_counts.argtypes = [
             ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
-            ctypes.c_int32, ctypes.c_void_p]
+            ctypes.c_int32, ctypes.c_void_p, ctypes.c_int]
         lib.cigar_compact_fill.restype = ctypes.c_int
         lib.cigar_compact_fill.argtypes = [
             ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
-            ctypes.c_int32, ctypes.c_int64, ctypes.c_void_p]
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int]
         lib.bam_carve_window.restype = ctypes.c_int
         lib.bam_carve_window.argtypes = (
             [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
@@ -392,6 +392,42 @@ def bam_carve_window(buffer: bytes, start: int, min_mapq: int, max_records: int)
     return trimmed, consumed.value, bool(exhausted.value)
 
 
+def bgzf_decompress_with_prefix(data: bytes, prefix=b"", n_threads: int = 0):
+    """Multithreaded BGZF inflate into a buffer that STARTS with `prefix`
+    (the streaming scanner's carried partial record).  Only the small prefix
+    is copied — previously the caller concatenated carry + 128 MiB window,
+    copying the whole window every roll.
+
+    The buffer is an anonymous mmap, NOT a bytearray: bytearray(n) memsets
+    the whole window on the allocating thread (~19 single-threaded 128 MiB
+    zero-fills per whole-genome scan), while mmap pages are zero-filled
+    lazily by the kernel and first-touched IN PARALLEL by the inflate
+    workers.  mmap slices return real bytes, so downstream decode()/find()
+    consumers are unaffected.  Returns the buffer or None."""
+    lib = get_library()
+    if lib is None:
+        return None
+    if n_threads <= 0:
+        n_threads = min(8, os.cpu_count() or 1)
+    total = lib.bgzf_uncompressed_size(data, len(data))
+    if total < 0:
+        return None
+    if total + len(prefix) == 0:
+        return b""
+    import mmap as mmap_mod
+    out = mmap_mod.mmap(-1, len(prefix) + total)
+    if prefix:
+        out[:len(prefix)] = prefix
+    if total:
+        view = (ctypes.c_char * total).from_buffer(out, len(prefix))
+        status = lib.bgzf_decompress(data, len(data), view, total, n_threads)
+        del view
+        if status != 0:
+            out.close()
+            return None
+    return out
+
+
 def bgzf_decompress_parallel(data: bytes, n_threads: int = 0):
     """Multithreaded BGZF inflate (htslib-style block parallelism).
     Returns bytes, or None when the native library is unavailable or the
@@ -498,16 +534,17 @@ def cigar_compact_rows(buffer, cigar_off, n_cigar, min_sv_size: int,
     def ptr(array):
         return array.ctypes.data_as(ctypes.c_void_p)
 
+    n_threads = min(8, os.cpu_count() or 1)
     counts = np.empty(n, dtype=np.int32)
     buffer_arg = _buffer_arg(buffer)
     lib.cigar_compact_counts(buffer_arg, ptr(off), ptr(ops), n, min_sv_size,
-                             ptr(counts))
+                             ptr(counts), n_threads)
     k = bucket_size_fn(max(1, int(counts.max())))
     if k >= bucket_size_fn(max(1, int(ops.max()))):
         return None
     out = np.zeros((n, k), dtype=np.int32)
     lib.cigar_compact_fill(buffer_arg, ptr(off), ptr(ops), n, min_sv_size, k,
-                           ptr(out))
+                           ptr(out), n_threads)
     return out
 
 

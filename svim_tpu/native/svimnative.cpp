@@ -17,6 +17,7 @@
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <functional>
 #include <mutex>
 #include <thread>
 #include <vector>
@@ -755,24 +756,48 @@ static int64_t cigar_compact_core(const uint8_t* cigar, int64_t n_cigar,
   return count;
 }
 
+// Rows are independent: fan a [0, n) loop across a small thread pool.
+// (std::function, not a template: the translation unit is extern "C".)
+static void parallel_rows(int64_t n, int n_threads,
+                          const std::function<void(int64_t)>& fn) {
+  if (n_threads < 2 || n < 256) {
+    for (int64_t i = 0; i < n; i++) fn(i);
+    return;
+  }
+  std::atomic<int64_t> next{0};
+  auto worker = [&]() {
+    const int64_t chunk = 64;
+    for (;;) {
+      int64_t start = next.fetch_add(chunk);
+      if (start >= n) break;
+      int64_t stop = start + chunk < n ? start + chunk : n;
+      for (int64_t i = start; i < stop; i++) fn(i);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads - 1; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& thread : threads) thread.join();
+}
+
 // Pass 1: per-row final word count (compact count, or the raw count when
 // the row keeps its raw words).
 int cigar_compact_counts(const uint8_t* data, const int64_t* cigar_off,
                          const int32_t* n_cigar, int64_t n, int32_t thr,
-                         int32_t* counts) {
-  for (int64_t i = 0; i < n; i++) {
+                         int32_t* counts, int n_threads) {
+  parallel_rows(n, n_threads, [&](int64_t i) {
     int64_t c = cigar_compact_core(data + cigar_off[i], n_cigar[i], thr,
                                    nullptr, 0);
     counts[i] = (int32_t)(c < 0 ? n_cigar[i] : c);
-  }
+  });
   return 0;
 }
 
 // Pass 2: fill a zeroed (n, k) int32 batch with compacted (or raw) rows.
 int cigar_compact_fill(const uint8_t* data, const int64_t* cigar_off,
                        const int32_t* n_cigar, int64_t n, int32_t thr,
-                       int64_t k, int32_t* out) {
-  for (int64_t i = 0; i < n; i++) {
+                       int64_t k, int32_t* out, int n_threads) {
+  parallel_rows(n, n_threads, [&](int64_t i) {
     int32_t* row = out + i * k;
     int64_t c = cigar_compact_core(data + cigar_off[i], n_cigar[i], thr, row,
                                    k);
@@ -781,7 +806,7 @@ int cigar_compact_fill(const uint8_t* data, const int64_t* cigar_off,
       std::memset(row, 0, sizeof(int32_t) * (size_t)k);
       std::memcpy(row, data + cigar_off[i], 4 * copy);
     }
-  }
+  });
   return 0;
 }
 
