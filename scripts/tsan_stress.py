@@ -75,6 +75,10 @@ def main():
                                                       n_threads=4)
                 native.bgzf_decompress_with_prefix(compressed, b"carrybytes",
                                                    n_threads=4)
+                # streaming fused-window pass: inflate-behind-prefix +
+                # count walk chasing the frontier
+                native.bam_scan_fused_window(compressed, b"", -1, 20, 40,
+                                             n_threads=4)
                 # streaming-path pools: carve + threaded cigar compaction
                 body_offset = counted[2]
                 carved = native.bam_carve_window(bytes(data), body_offset,

@@ -143,10 +143,135 @@ def stream_bam(path: str, min_mapq: int, batch_reads: int = 4096,
 
     Returns a generator whose first item is the AlignmentHeader and whose
     subsequent items are StreamedBatch; use collect_streaming() for the
-    assembled pipeline."""
+    assembled pipeline.  With the native library available each window runs
+    the FUSED inflate+count pass (records counted/compacted while the
+    blocks inflate, rows filled by memcpy from the scan cache — the same
+    machinery as the one-shot scanner, per window); otherwise the
+    carve/compact path runs, and with no library at all a pure-Python
+    walk."""
     handle = open(path, "rb")
     data = mmap.mmap(handle.fileno(), 0, access=mmap.ACCESS_READ)
+    try:
+        from svim_tpu import native
+        fused = native.get_library() is not None
+    except Exception:
+        fused = False
+    if fused:
+        yield from _stream_bam_fused(data, min_mapq, batch_reads, min_sv_size)
+    else:
+        yield from _stream_bam_carve(data, min_mapq, batch_reads, min_sv_size)
 
+
+def _batch_from_columns(buffer, cigar_words, ref_id, pos, mapq, flag,
+                        name_off, name_len, seq_off, seq_len, sa_off, sa_len,
+                        row_offset) -> StreamedBatch:
+    """StreamedBatch from row slices of a window's scan columns (fused
+    path).  Names/sequences/SA decode lazily from the window buffer."""
+    n_real = len(ref_id)
+    n_pad = _row_bucket(n_real)
+    k = cigar_words.shape[1]
+    padded_words = np.zeros((n_pad, k), dtype=np.int32)
+    padded_words[:n_real] = cigar_words
+
+    def pad_column(values, dtype, fill=0):
+        out = np.full(n_pad, fill, dtype=dtype)
+        out[:n_real] = values
+        return out
+
+    from svim_tpu.io.bamscan import LazyStrings as _LazyStrings
+
+    packed = build_packed(
+        pad_column(ref_id, np.int32, -1), pad_column(pos, np.int32),
+        pad_column(mapq, np.int32), pad_column(flag, np.int32), padded_words,
+        _LazyStrings(buffer, pad_column(name_off, np.int64, -1),
+                     pad_column(name_len, np.int64)),
+        LazySequences(buffer, pad_column(seq_off, np.int64),
+                      pad_column(seq_len, np.int64)))
+    sa_tags = _LazyStrings(buffer, pad_column(sa_off, np.int64, -1),
+                           pad_column(sa_len, np.int64),
+                           none_when_negative=True)
+    return StreamedBatch(packed, sa_tags, row_offset, n_real)
+
+
+def _stream_bam_fused(data, min_mapq: int, batch_reads: int,
+                      min_sv_size: int):
+    """Window-fused streaming scan: per window ONE native pass inflates the
+    blocks behind the carried partial record AND counts/compacts its
+    records chasing the inflate frontier; rows then fill by memcpy from the
+    scan cache (bamscan_native with the window's body offset)."""
+    from svim_tpu import native
+
+    block_iter = scan_bgzf_blocks(data)
+    pending_blocks = []
+    pending_out = 0
+
+    def next_raw():
+        nonlocal pending_blocks, pending_out
+        for block in block_iter:
+            pending_blocks.append(block)
+            pending_out += block[2]
+            if pending_out >= WINDOW_UNCOMPRESSED:
+                break
+        if not pending_blocks:
+            return None
+        raw = bytes(data[pending_blocks[0][0]:
+                         pending_blocks[-1][0] + pending_blocks[-1][1]])
+        pending_blocks = []
+        pending_out = 0
+        return raw
+
+    carry = b""
+    walk_start = -1   # window 0 parses the header behind the frontier
+    header = None
+    row_offset = 0
+    while True:
+        raw = next_raw()
+        if raw is None:
+            if carry:
+                raise ValueError("truncated BAM record at end of stream")
+            if header is None:
+                raise ValueError("empty BAM stream")
+            return
+        scanned = native.bam_scan_fused_window(raw, carry, walk_start,
+                                               min_mapq, min_sv_size)
+        if scanned is None:
+            if header is None:
+                # e.g. a header spanning multiple windows: delegate the
+                # whole stream to the incremental carve path
+                yield from _stream_bam_carve(data, min_mapq, batch_reads,
+                                             min_sv_size)
+                return
+            raise ValueError("truncated or corrupt BGZF BAM window")
+        buffer, n, max_ops, body_offset, consumed = scanned
+        if header is None:
+            header, _parsed_offset = _parse_header(buffer)
+            yield header
+        if n:
+            result = native.bamscan_native(
+                buffer, min_mapq, bucket_size, min_sv_size,
+                counted=(n, max_ops, body_offset), body_offset=body_offset)
+            if result is None:
+                raise ValueError("window scan failed")
+            (_text, _refs, _lens, cigar_words, ref_id, pos, mapq, flag,
+             name_off, name_len, seq_off, seq_len, sa_off, sa_len) = result
+            for start in range(0, n, batch_reads):
+                stop = min(start + batch_reads, n)
+                yield _batch_from_columns(
+                    buffer, cigar_words[start:stop], ref_id[start:stop],
+                    pos[start:stop], mapq[start:stop], flag[start:stop],
+                    name_off[start:stop], name_len[start:stop],
+                    seq_off[start:stop], seq_len[start:stop],
+                    sa_off[start:stop], sa_len[start:stop],
+                    row_offset + start)
+            row_offset += n
+        carry = bytes(buffer[consumed:])
+        walk_start = 0
+
+
+def _stream_bam_carve(data, min_mapq: int, batch_reads: int,
+                      min_sv_size: int):
+    """Incremental carve/compact streaming scan (fallback when the fused
+    window pass is unavailable)."""
     block_iter = scan_bgzf_blocks(data)
     pending_blocks = []
     pending_out = 0

@@ -124,6 +124,13 @@ def get_library():
             ctypes.c_int, ctypes.c_int32, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64)]
+        lib.bam_inflate_count_window.restype = ctypes.c_int
+        lib.bam_inflate_count_window.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int32,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
         lib.cigar_compact_counts.restype = ctypes.c_int
         lib.cigar_compact_counts.argtypes = [
             ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -392,6 +399,50 @@ def bam_carve_window(buffer: bytes, start: int, min_mapq: int, max_records: int)
     return trimmed, consumed.value, bool(exhausted.value)
 
 
+def bam_scan_fused_window(compressed: bytes, prefix=b"", walk_start: int = -1,
+                          min_mapq: int = 0, min_sv_size: int = 0,
+                          n_threads: int = 0):
+    """Streaming-window fused pass: inflate one BGZF block range BEHIND the
+    carried prefix AND count/compact its records in the same chase (the
+    window counterpart of bam_scan_fused).  walk_start -1 parses the BAM
+    header first (window 0); 0 starts at the prefix (carried windows).
+
+    Returns (mmap buffer, n, max_ops, body_offset, consumed) or None.  A
+    bamscan_native(buffer, ..., counted=(n, max_ops, body_offset),
+    body_offset=body_offset) on the SAME thread memcpys the rows from the
+    cached offsets/compaction arena."""
+    lib = get_library()
+    if lib is None:
+        return None
+    if n_threads <= 0:
+        n_threads = max(1, min(8, os.cpu_count() or 1) - 1)
+    total = lib.bgzf_uncompressed_size(compressed, len(compressed))
+    if total < 0:
+        return None
+    out_size = len(prefix) + total
+    if out_size == 0:
+        return None
+    import mmap as mmap_mod
+    out = mmap_mod.mmap(-1, out_size)
+    if prefix:
+        out[:len(prefix)] = prefix
+    view = (ctypes.c_char * out_size).from_buffer(out)
+    n = ctypes.c_int64(0)
+    max_ops = ctypes.c_int64(0)
+    body = ctypes.c_int64(0)
+    consumed = ctypes.c_int64(0)
+    status = lib.bam_inflate_count_window(
+        compressed, len(compressed), view, out_size, len(prefix),
+        walk_start, min_mapq, min_sv_size, n_threads,
+        ctypes.byref(n), ctypes.byref(max_ops), ctypes.byref(body),
+        ctypes.byref(consumed))
+    del view
+    if status != 0:
+        out.close()
+        return None
+    return out, n.value, max_ops.value, body.value, consumed.value
+
+
 def bgzf_decompress_with_prefix(data: bytes, prefix=b"", n_threads: int = 0):
     """Multithreaded BGZF inflate into a buffer that STARTS with `prefix`
     (the streaming scanner's carried partial record).  Only the small prefix
@@ -549,7 +600,8 @@ def cigar_compact_rows(buffer, cigar_off, n_cigar, min_sv_size: int,
 
 
 def bamscan_native(data: bytes, min_mapq: int, bucket_size_fn,
-                   min_sv_size: int = 0, counted=None, n_threads: int = 0):
+                   min_sv_size: int = 0, counted=None, n_threads: int = 0,
+                   body_offset=None):
     """Scan uncompressed BAM bytes natively.  Returns the same tuple layout as
     the Python scanner core, or None when the library is unavailable.
 
@@ -567,23 +619,27 @@ def bamscan_native(data: bytes, min_mapq: int, bucket_size_fn,
     lib = get_library()
     if lib is None:
         return None
-    # header walk stays in Python (tiny)
-    import struct
-    (l_text,) = struct.unpack_from("<i", data, 4)
-    offset = 8 + l_text
-    (n_ref,) = struct.unpack_from("<i", data, offset)
-    offset += 4
-    references, lengths = [], []
-    for _ in range(n_ref):
-        (l_name,) = struct.unpack_from("<i", data, offset)
+    if body_offset is None:
+        # header walk stays in Python (tiny)
+        import struct
+        (l_text,) = struct.unpack_from("<i", data, 4)
+        offset = 8 + l_text
+        (n_ref,) = struct.unpack_from("<i", data, offset)
         offset += 4
-        references.append(data[offset:offset + l_name - 1].decode())
-        offset += l_name
-        (l_ref,) = struct.unpack_from("<i", data, offset)
-        offset += 4
-        lengths.append(l_ref)
-    body_offset = offset
-    text = data[8:8 + l_text].split(b"\x00", 1)[0].decode()
+        references, lengths = [], []
+        for _ in range(n_ref):
+            (l_name,) = struct.unpack_from("<i", data, offset)
+            offset += 4
+            references.append(data[offset:offset + l_name - 1].decode())
+            offset += l_name
+            (l_ref,) = struct.unpack_from("<i", data, offset)
+            offset += 4
+            lengths.append(l_ref)
+        body_offset = offset
+        text = data[8:8 + l_text].split(b"\x00", 1)[0].decode()
+    else:
+        # streaming window: the caller already holds the header
+        text, references, lengths = None, None, None
 
     data_arg = _buffer_arg(data)
     if counted is not None and counted[2] == body_offset:

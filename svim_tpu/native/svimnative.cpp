@@ -337,6 +337,142 @@ int bam_count(const uint8_t* data, int64_t size, int64_t body_offset,
   return 0;
 }
 
+// Window variant for the STREAMING scanner: `out` already holds
+// `prefix_len` carried bytes (the previous window's partial record); the
+// compressed blocks inflate BEHIND them while the calling thread walks
+// records chasing the frontier, exactly like bam_inflate_count.  The walk
+// starts at `walk_start` (>= 0: a record boundary — 0 for carried windows;
+// -1: parse the BAM header first, window 0).  A partial trailing record is
+// EXPECTED: the walk stops there and reports the consumed offset so the
+// caller can carry the tail.  On success the thread-local scan cache holds
+// the window's passing-record offsets + compacted words — a following
+// bam_fill(out, out_size, body_offset=walk start) on this thread memcpys
+// rows without re-walking.
+// Returns 0 on success, -1 not BAM / bad header, -2 size mismatch,
+// -3 inflate failure.
+int bam_inflate_count_window(const uint8_t* comp, int64_t comp_size,
+                             uint8_t* out, int64_t out_size,
+                             int64_t prefix_len, int64_t walk_start,
+                             int min_mapq, int32_t min_sv_size, int n_threads,
+                             int64_t* out_n, int64_t* out_max_ops,
+                             int64_t* out_body_offset, int64_t* out_consumed) {
+  std::vector<BgzfBlock> blocks;
+  int64_t total = 0;
+  if (scan_bgzf(comp, comp_size, &blocks, &total) != 0) return -1;
+  if (prefix_len + total != out_size) return -2;
+  if (n_threads < 1) n_threads = 1;
+  const LibdeflateApi& ld = libdeflate_api();
+
+  std::mutex mu;
+  std::condition_variable cv;
+  std::vector<uint8_t> done(blocks.size(), 0);
+  size_t prefix_blocks = 0;
+  int64_t avail = prefix_len;   // contiguous bytes of `out` ready to read
+  std::atomic<int64_t> next_block{0};
+  std::atomic<int> inflate_error{0};
+
+  auto worker = [&]() {
+    void* ld_state = ld.alloc ? ld.alloc() : nullptr;
+    for (;;) {
+      int64_t b = next_block.fetch_add(1);
+      if (b >= (int64_t)blocks.size()) break;
+      BgzfBlock shifted = blocks[b];
+      shifted.out_off += prefix_len;
+      if (inflate_one_block(ld, ld_state, comp, shifted, out) != 0) {
+        inflate_error.store(1);
+        break;
+      }
+      {
+        std::lock_guard<std::mutex> lock(mu);
+        done[b] = 1;
+        while (prefix_blocks < blocks.size() && done[prefix_blocks]) {
+          avail = prefix_len + blocks[prefix_blocks].out_off
+                  + blocks[prefix_blocks].out_size;
+          prefix_blocks++;
+        }
+      }
+      cv.notify_all();
+    }
+    if (ld_state) ld.release(ld_state);
+    cv.notify_all();
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+
+  int64_t avail_local = prefix_len;
+  auto ensure = [&](int64_t need) -> bool {
+    if (need <= avail_local) return true;
+    if (need > out_size) return false;
+    std::unique_lock<std::mutex> lock(mu);
+    cv.wait(lock, [&] {
+      return avail >= need || inflate_error.load()
+             || prefix_blocks == blocks.size();
+    });
+    avail_local = avail;
+    return avail_local >= need;
+  };
+
+  BamScanCache& cache = bam_scan_cache_tls();
+  cache.data = nullptr;
+  cache.offsets.clear();
+  cache.compact_words.clear();
+  cache.compact_off.clear();
+  cache.compact_len.clear();
+  int rc = 0;
+  int64_t n = 0;
+  int64_t max_ops = 1;
+  int64_t off = walk_start;
+  if (walk_start < 0) {
+    // window 0: the header leads the stream
+    do {
+      if (!ensure(12) || std::memcmp(out, "BAM\x01", 4) != 0) { rc = -1; break; }
+      off = 8 + (int64_t)rd_i32(out + 4);
+      if (!ensure(off + 4)) { rc = -1; break; }
+      int32_t n_ref = rd_i32(out + off);
+      off += 4;
+      for (int32_t i = 0; i < n_ref && rc == 0; ++i) {
+        if (!ensure(off + 4)) { rc = -1; break; }
+        off += 4 + (int64_t)rd_i32(out + off) + 4;
+      }
+      if (rc == 0 && !ensure(off)) rc = -1;
+    } while (false);
+  }
+  int64_t body_offset = off;
+  if (rc == 0) {
+    while (off + 4 <= out_size) {
+      if (!ensure(off + 4)) break;           // partial tail: size prefix cut
+      int32_t block = rd_i32(out + off);
+      if (block < 32) { rc = -1; break; }    // corrupt record
+      if (off + 4 + block > out_size) break; // partial tail: record cut
+      if (!ensure(off + 4 + block)) break;
+      const uint8_t* r = out + off + 4;
+      uint8_t mapq = r[9];
+      uint16_t n_cigar = rd_u16(r + 12);
+      uint16_t flag = rd_u16(r + 14);
+      if ((flag & (kFUnmap | kFSecondary)) == 0 && mapq >= min_mapq) {
+        n++;
+        cache.offsets.push_back(off);
+        int64_t final_ops = count_record_ops(cache, r, n_cigar, min_sv_size);
+        if (final_ops > max_ops) max_ops = final_ops;
+      }
+      off += 4 + block;
+    }
+  }
+  for (auto& thread : threads) thread.join();
+  if (inflate_error.load()) return -3;
+  if (rc != 0) return rc;
+  cache.data = out;
+  cache.size = out_size;
+  cache.body_offset = body_offset;
+  cache.min_mapq = min_mapq;
+  cache.min_sv_size = min_sv_size;
+  *out_n = n;
+  *out_max_ops = max_ops;
+  *out_body_offset = body_offset;
+  *out_consumed = off;
+  return 0;
+}
+
 // Inflate a whole BGZF BAM stream into `out` AND count passing records in
 // the same pass: `n_threads` workers claim blocks dynamically while the
 // calling thread walks record headers chasing the contiguous inflated

@@ -45,6 +45,11 @@ with open(os.environ["SVIM_STUB_LOG"], "a") as log:
     log.write("{name} " + " ".join(sys.argv[1:]) + "\\n")
 if "--help" in sys.argv:
     sys.exit(0)
+if "-q" not in sys.argv and not sys.stdin.isatty():
+    # piped-reads invocation (gunzip -c ... | ngmlr): consume stdin like the
+    # real aligner, otherwise the upstream stage dies on EPIPE under
+    # pipefail when this stub exits first (was a load-dependent test flake)
+    sys.stdin.read()
 with open(os.environ["SVIM_STUB_SAM"]) as sam:
     sys.stdout.write(sam.read())
 '''
