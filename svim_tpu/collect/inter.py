@@ -265,7 +265,12 @@ def _merge_tandem_runs(emit: _Emitter):
             current_ends = [end]
             current_copy_number = 1
             current_fully_covered = [covered]
-            current_direction = direction
+            # Bug-for-bug parity: the reference does NOT reset
+            # current_direction when a run flushes (SVIM_inter.py:262-269 only
+            # resets chromosome/starts/ends/copies/covered), so every
+            # subsequent run keeps comparing against the FIRST tandem's
+            # direction.  Mixed-direction evidence in one read must merge the
+            # same stale way here.
     if current_chromosome is not None:
         flush()
 
