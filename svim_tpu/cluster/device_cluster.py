@@ -17,9 +17,14 @@ bit-identical to the reference (scipy linkage+fcluster over float64 —
 SVIM_clustering.py:159-171).
 
 Three routes:
-  * fused (DEL / INV / DUP_TAN / DUP_INT / BND): coordinates ship to the
-    device; distance matrix, same-read dedup (SVIM_clustering.py:145-151)
-    and agglomeration all happen in one batched call.
+  * fused (DEL / INV / DUP_TAN / DUP_INT / BND): the exact float64 matrix
+    is ALSO built on host at dispatch time (it is a cheap vectorized
+    expression of integer columns) so same-read dedup
+    (SVIM_clustering.py:145-151) and the tie/wall arbitration run exactly
+    before any dispatch; partitions float32 could mis-order resolve on host
+    immediately (no round trip), and only provably-orderable partitions
+    ship — as coordinates, with matrix build + agglomeration in one
+    batched device call.
   * matrix (INS default, and the DUP_INT candidate round): the exact
     float64 matrix is built on host (cluster/accel.py — edit distances,
     destination terms, direction walls), dedup happens on host in float64,

@@ -75,9 +75,10 @@ def _inflate(compressed: bytes) -> bytes:
 def parse_header_end(data: bytes) -> Optional[Tuple[int, int]]:
     """(first_record_offset, n_ref) if `data` holds the complete BAM header,
     else None (caller inflates more blocks)."""
-    if len(data) < 12 or data[:4] != b"BAM\x01":
-        if len(data) >= 4:
-            raise ValueError("not a BAM stream")
+    if len(data) >= 4 and data[:4] != b"BAM\x01":
+        raise ValueError("not a BAM stream")
+    if len(data) < 12:
+        # magic matches (or is incomplete): merely too short, inflate more
         return None
     offset = 4
     (l_text,) = struct.unpack_from("<i", data, offset)
@@ -228,9 +229,19 @@ class BamRangePlan:
         if b_lo == 0:
             my_first = self.first_record_offset
         else:
-            my_first = find_record_start(data, self.n_ref)
-            if my_first is None:
-                # whole range is the interior of one giant record
+            # Run the SAME incremental procedure the left neighbor uses to
+            # compute this boundary (_range_first_record(b_lo)), never a
+            # one-shot scan over the full range: the incremental scan can
+            # accept a candidate on weaker evidence (chain running off a
+            # short buffer), and any asymmetry would make adjacent ranks
+            # disagree about the boundary, silently losing or duplicating
+            # record bytes.  Identical-by-construction beats
+            # identical-by-argument here.
+            my_first = self._range_first_record(b_lo)
+            if my_first is None or my_first >= len(data):
+                # whole range is the interior of one giant record (the first
+                # boundary at/after b_lo lies at/after b_hi, so the next rank
+                # owns it)
                 return b""
         n_blocks = len(self.block_offsets) - 1
         if b_hi >= n_blocks:

@@ -244,6 +244,8 @@ def _stream_bam_fused(data, min_mapq: int, batch_reads: int,
             raise ValueError("truncated or corrupt BGZF BAM window")
         buffer, n, max_ops, body_offset, consumed = scanned
         if header is None:
+            if not len(buffer):
+                raise ValueError("empty BAM stream")
             header, _parsed_offset = _parse_header(buffer)
             yield header
         if n:

@@ -421,7 +421,10 @@ def bam_scan_fused_window(compressed: bytes, prefix=b"", walk_start: int = -1,
         return None
     out_size = len(prefix) + total
     if out_size == 0:
-        return None
+        # a group of only zero-ISIZE blocks (e.g. an isolated BGZF EOF block
+        # when the previous window ended exactly at the last data block) with
+        # no carried prefix: a valid EMPTY window, not corruption
+        return b"", 0, 0, 0, 0
     import mmap as mmap_mod
     out = mmap_mod.mmap(-1, out_size)
     if prefix:

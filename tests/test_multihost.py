@@ -141,3 +141,16 @@ def test_two_process_dryrun_multichip():
         stdout, _ = proc.communicate(timeout=600)
         assert proc.returncode == 0 and "DRYRUN_OK" in stdout, \
             "rank {0}:\n{1}".format(rank, stdout)
+
+
+def test_parse_header_end_short_data_returns_none():
+    """A valid BAM whose first block inflates to 4-11 bytes must return None
+    (inflate more), not raise 'not a BAM stream' (ADVICE round 3)."""
+    from svim_tpu.io.bamrange import parse_header_end
+
+    assert parse_header_end(b"BAM\x01") is None
+    assert parse_header_end(b"BAM\x01\x00\x00\x00") is None
+    assert parse_header_end(b"BA") is None
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        parse_header_end(b"XXXX\x00\x00\x00\x00\x00\x00\x00\x00")

@@ -134,3 +134,23 @@ def test_native_carve_matches_python_fallback(tmp_path, default_options, monkeyp
     monkeypatch.setattr(native, "get_library", lambda: None)
     fallback_rows = rows()
     assert native_rows == fallback_rows and len(native_rows) > 0
+
+
+def test_isolated_eof_block_final_window(tmp_path, default_options, monkeypatch):
+    """A final raw group holding only zero-ISIZE blocks (the 28-byte BGZF EOF
+    block isolated when the previous group ends exactly at the last data
+    block) is end-of-stream, not corruption (ADVICE round 3)."""
+    import svim_tpu.io.bamstream as bamstream
+
+    bam_path, _ = _make_bam(tmp_path, n_reads=60)
+    baseline = bamstream.stream_bam(bam_path, default_options.min_mapq, 64)
+    next(baseline)
+    want = sum(batch.n_real for batch in baseline)
+
+    # window threshold 1: every block becomes its own raw group, so the EOF
+    # block (ISIZE 0) is guaranteed to arrive alone with an empty carry
+    monkeypatch.setattr(bamstream, "WINDOW_UNCOMPRESSED", 1)
+    stream = bamstream.stream_bam(bam_path, default_options.min_mapq, 64)
+    next(stream)
+    got = sum(batch.n_real for batch in stream)
+    assert got == want
