@@ -4,6 +4,8 @@ exact recovery from identical signatures)."""
 
 import random
 
+import pytest
+
 from svim_tpu.combine.consensus import (
     align_global,
     generate_insertion_consensus,
@@ -91,6 +93,7 @@ def test_poa_consensus_identical_inputs():
     assert poa_consensus([seq]) == seq
 
 
+@pytest.mark.slow
 def test_long_insertion_cluster_banded_poa():
     """An 8 kb insertion with 20 noisy members succeeds (status 0) through
     the banded graph POA — this used to exceed the full-DP cell budget and

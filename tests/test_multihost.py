@@ -85,6 +85,7 @@ def _read_vcf(path):
         return [line for line in handle if not line.startswith("##fileDate")]
 
 
+@pytest.mark.slow
 def test_two_process_vcf_parity(dataset):
     out, bam, genome = dataset
 
@@ -115,6 +116,7 @@ def test_two_process_vcf_parity(dataset):
     assert multi == single
 
 
+@pytest.mark.slow
 def test_two_process_dryrun_multichip():
     """__graft_entry__.dryrun_multichip joins a 2-process runtime and runs
     the sharded COLLECT + clustering steps over an 8-device mesh whose

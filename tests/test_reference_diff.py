@@ -23,9 +23,9 @@ from svim_tpu.sim import SimConfig, simulate
 REFERENCE_DRIVER = "/root/reference/src/svim/svim"
 RUNNER = os.path.join(os.path.dirname(__file__), "shims", "run_reference.py")
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.exists(REFERENCE_DRIVER),
-    reason="reference implementation not available")
+    reason="reference implementation not available")]
 
 
 def _run_reference(workdir, bam, genome, extra=()):

@@ -17,8 +17,8 @@ from tests.test_reference_diff import _diff_tree, _run_reference
 FIXTURE = "/root/reference/src/tests/chimeric_read.sam"
 CHR21_LENGTH = 48_129_895  # @SQ LN in the fixture header
 
-pytestmark = pytest.mark.skipif(not os.path.exists(FIXTURE),
-                                reason="reference fixture not available")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(not os.path.exists(FIXTURE),
+                                reason="reference fixture not available")]
 
 
 @pytest.fixture(scope="module")

@@ -84,6 +84,7 @@ def _write_mixed_direction_fixture(out_dir):
 
 @pytest.mark.skipif(not os.path.exists(REFERENCE_DRIVER),
                     reason="reference implementation not available")
+@pytest.mark.slow
 def test_mixed_direction_reference_parity(tmp_path):
     from tests.test_reference_diff import _diff_tree, _run_reference
 
