@@ -61,9 +61,14 @@ _FUSED_KIND = {"DEL": KIND_SPAN_POSITION, "INV": KIND_SPAN_POSITION,
                "DUP_TAN": KIND_SPAN_POSITION, "DUP_INT": KIND_DUP_INT,
                "BND": KIND_BND}
 
-# coordinate (fused) route: the device builds the distance matrix from int32
-# columns — DUP_INT adds a destination term, BND uses the /3000 formula with
-# direction-mismatch partitions arbitrated on host pre-dispatch.  INS
+# coordinate (fused) route: the device rebuilds the distance matrix from
+# int32 columns and agglomerates — DUP_INT adds a destination term, BND uses
+# the /3000 formula.  NOTE the host ALSO builds the exact f64 matrix for
+# every partition at dispatch time (cheap vectorized numpy at n<=128): exact
+# dedup, wall detection, and the f32-tie pre-check all need it, and partitions
+# it disqualifies skip the kernel round trip entirely instead of bouncing
+# back flagged ambiguous (see _dispatch_fused).  Only coordinates ship to the
+# device; the host matrix is reused verbatim by any fallback.  INS
 # defaults to the matrix route: its distances embed exact edit distances
 # computed by the native host batch (measured faster than the tunneled
 # wavefront kernel on every shape — cluster/edit_distance.py), so the f64

@@ -224,19 +224,136 @@ def collect_soa_from_bam(bam_path: str, options):
 
     Returns (header, table, SignatureSoA, twins).  Large inputs stream
     with bounded memory, each batch appending straight to shared SoA tables
-    (no Signature objects for the dense mass); the one-shot path builds the
-    tables in one pass."""
+    (no Signature objects for the dense mass); the one-shot path pipelines
+    the native scan session against the device passes (chunked
+    scan/dispatch overlap, one deferred fetch)."""
     import os
 
     if (getattr(options, "stream_input", False)
             or os.path.getsize(bam_path) > STREAMING_THRESHOLD_BYTES):
         from svim_tpu.io.bamstream import collect_streaming
         return collect_streaming(bam_path, options, soa=True)
+    try:
+        from svim_tpu import native
+        pipelined = native.get_library() is not None
+    except Exception:
+        pipelined = False
+    if pipelined:
+        return collect_soa_pipelined(bam_path, options)
     from svim_tpu.io.bamscan import scan_bam
     header, packed, sa_tags = scan_bam(bam_path, options.min_mapq,
                                        options.min_sv_size)
     soa, twins = signatures_from_packed_soa(packed, sa_tags, header, options)
     return header, packed, soa, twins
+
+
+def collect_soa_pipelined(bam_path: str, options):
+    """One-shot SoA COLLECT pipelined against the native scan session.
+
+    The session's background threads inflate + walk the whole stream
+    (io/native BamScanSession) while this thread packs each delivered row
+    range and dispatches its COLLECT + classify device passes — the device
+    work and host->device transfers ride inside the scan's wall time
+    instead of after it (the inflate floor was >40% of the serial warm
+    path).  Nothing is fetched until every batch is staged: ONE
+    jax.device_get then pays a single RPC round trip for the whole file.
+
+    Returns (header, GenotypeTable, SignatureSoA, twins) — the same shape
+    the streaming path produces.  Replaces the ingest the reference pays
+    inside COLLECT (SVIM_COLLECT.py:132-167) for the array path."""
+    import jax
+
+    from svim_tpu import native
+    from svim_tpu.io.bamscan import LazySequences, LazyStrings, build_packed
+    from svim_tpu.io.bamstream import GenotypeTable, _parse_header, _row_bucket
+    from svim_tpu.io.packing import bucket_size
+
+    with open(bam_path, "rb") as handle:
+        compressed = handle.read()
+    try:
+        session = native.BamScanSession(compressed, options.min_mapq,
+                                        options.min_sv_size)
+    except ValueError:
+        # not BGZF (e.g. plain-gzip BAM): the classic scanner handles it
+        from svim_tpu.io.bamscan import scan_bam
+        header, packed, sa_tags = scan_bam(bam_path, options.min_mapq,
+                                           options.min_sv_size)
+        soa, twins = signatures_from_packed_soa(packed, sa_tags, header,
+                                                options)
+        return header, packed, soa, twins
+
+    batch_reads = max(1, int(getattr(options, "batch_reads", 4096)))
+    header = None
+    staged: List = []   # (StagedCollectSoA, global row start, real rows)
+    try:
+        while True:
+            row_start, n, max_ops, _body, done = session.next_rows(batch_reads)
+            if header is None:
+                # the walker parsed the header before delivering any rows,
+                # so the leading bytes of session.data are final
+                header, _offset = _parse_header(session.data)
+            if n:
+                k = bucket_size(max(1, max_ops))
+                (cigar_words, ref_id, pos, mapq, flag, name_off, name_len,
+                 seq_off, seq_len, sa_off, sa_len) = session.fill(
+                    row_start, n, k)
+                n_pad = _row_bucket(n)
+
+                def pad(values, dtype, fill=0):
+                    out = np.full(n_pad, fill, dtype=dtype)
+                    out[:n] = values
+                    return out
+
+                padded_words = np.zeros((n_pad, k), dtype=np.int32)
+                padded_words[:n] = cigar_words
+                packed = build_packed(
+                    pad(ref_id, np.int32, -1), pad(pos, np.int32),
+                    pad(mapq, np.int32), pad(flag, np.int32), padded_words,
+                    LazyStrings(session.data, pad(name_off, np.int64, -1),
+                                pad(name_len, np.int64)),
+                    LazySequences(session.data, pad(seq_off, np.int64),
+                                  pad(seq_len, np.int64)))
+                sa_tags = LazyStrings(session.data,
+                                      pad(sa_off, np.int64, -1),
+                                      pad(sa_len, np.int64),
+                                      none_when_negative=True)
+                stage = stage_signatures_soa(packed, sa_tags, header, options)
+                if stage is not None:
+                    staged.append((stage, row_start, n))
+            if done:
+                break
+    except Exception:
+        session.close()
+        raise
+
+    state = SoAState()
+    if staged:
+        fetched_all = jax.device_get([stage.device_tree()
+                                      for stage, _, _ in staged])
+        for (stage, row_start, _n), fetched in zip(staged, fetched_all):
+            consume_signatures_soa(stage, fetched, header, options, state,
+                                   row_tag_offset=row_start)
+    soa, twins = state.finalize()
+
+    ref_id_parts, ref_start_parts, ref_end_parts, mapq_parts = [], [], [], []
+    names_all: List[str] = []
+    for stage, _row_start, n_real in staged:
+        packed = stage.packed
+        ref_id_parts.append(np.asarray(packed.ref_id[:n_real]))
+        ref_start_parts.append(np.asarray(packed.ref_start[:n_real]))
+        ref_end_parts.append(np.asarray(packed.ref_end[:n_real]))
+        mapq_parts.append(np.asarray(packed.mapq[:n_real]))
+        names_all.extend(packed.names.take(np.arange(n_real)))
+    if ref_id_parts:
+        table = GenotypeTable(np.concatenate(ref_id_parts),
+                              np.concatenate(ref_start_parts),
+                              np.concatenate(ref_end_parts),
+                              np.concatenate(mapq_parts), names_all)
+    else:
+        table = GenotypeTable(np.zeros(0, np.int32), np.zeros(0, np.int64),
+                              np.zeros(0, np.int64), np.zeros(0, np.int32), [])
+    session.close()
+    return header, table, soa, twins
 
 
 def dispatch_collect_scan(packed, options):
@@ -517,30 +634,39 @@ class SoAState:
         return soa, twins
 
 
-def signatures_from_packed_soa(packed, sa_tags, name_table, options,
-                               dispatched=None, state=None,
-                               row_tag_offset=0):
-    """signatures_from_packed with struct-of-arrays output.
+class StagedCollectSoA:
+    """One packed batch's in-flight device work plus the host context needed
+    to consume it later: lets a pipelined driver stage many batches (device
+    passes dispatched, nothing fetched) and fetch them ALL with one
+    jax.device_get at the end — per-batch fetches each pay a full RPC round
+    trip over the tunneled TPU."""
 
-    Returns (SignatureSoA, twins) where twins is the all_bnds object list.
-    CIGAR indel events (the dense mass) become table columns directly;
-    split-read signatures run through the object emitters (sparse) and are
-    appended to the tables with their packed-row tags, so each table's row
-    order equals the object path's per-type signature order exactly.
+    __slots__ = ("packed", "dispatched", "classify_outputs", "group_rows",
+                 "group_sa_segments", "fallback_rows")
 
-    `state`/`row_tag_offset` serve the streaming scanner: batches append to
-    one shared SoAState under globally increasing row tags and the caller
-    finalizes once (this call then returns (None, None))."""
-    shared = state is not None
-    if state is None:
-        state = SoAState()
-    builders = state.builders
-    contigs_pool = state.contigs_pool
-    reads_pool = state.reads_pool
-    twin_rows = state.twin_rows
+    def __init__(self, packed, dispatched, classify_outputs, group_rows,
+                 group_sa_segments, fallback_rows):
+        self.packed = packed
+        self.dispatched = dispatched
+        self.classify_outputs = classify_outputs
+        self.group_rows = group_rows
+        self.group_sa_segments = group_sa_segments
+        self.fallback_rows = fallback_rows
 
-    getrname = (name_table.getrname if hasattr(name_table, "getrname")
-                else name_table.get_reference_name)
+    def device_tree(self):
+        """(collect result, classify outputs or None) — pass through ONE
+        jax.device_get, then hand to consume_signatures_soa."""
+        _rerun, result, _max_events = self.dispatched
+        return (result, self.classify_outputs)
+
+
+def stage_signatures_soa(packed, sa_tags, name_table, options,
+                         dispatched=None):
+    """Dispatch the COLLECT + classify device passes for one packed batch
+    (async; nothing fetched) and return the StagedCollectSoA to consume
+    later.  Returns None for an empty batch (after installing empty geometry
+    columns).  SA-tag parsing runs here, overlapping the in-flight COLLECT
+    pass exactly as the object path does."""
     get_tid = name_table.get_tid
 
     if packed.n == 0:
@@ -551,13 +677,11 @@ def signatures_from_packed_soa(packed, sa_tags, name_table, options,
             packed.qa_start = empty
             packed.qa_end = empty
             packed.has_hard_clip = np.zeros(0, dtype=bool)
-        return (None, None) if shared else state.finalize()
+        return None
 
     if dispatched is None:
         dispatched = dispatch_collect_scan(packed, options)
 
-    # SA-tag parsing overlaps the in-flight device pass (same as the object
-    # path in signatures_from_packed)
     supplementary = (packed.flag & FSUPPLEMENTARY) != 0
     sa_parsed: Dict[int, List] = {}
     present = getattr(sa_tags, "present_rows", None)
@@ -586,19 +710,29 @@ def signatures_from_packed_soa(packed, sa_tags, name_table, options,
 
     classify_outputs = None
     if group_rows:
-        rerun, result, max_events = dispatched
+        _rerun, result, _max_events = dispatched
         classify_outputs = _dispatch_classify_fused(
             packed, group_rows, group_sa_segments, result, options)
+    return StagedCollectSoA(packed, dispatched, classify_outputs, group_rows,
+                            group_sa_segments, fallback_rows)
 
-    import jax
 
-    rerun, result, max_events = dispatched
-    if classify_outputs is not None:
-        fetched_collect, fetched_classify = jax.device_get(
-            (result, classify_outputs))
-    else:
-        fetched_collect = jax.device_get(result)
-        fetched_classify = None
+def consume_signatures_soa(staged, fetched, name_table, options, state,
+                           row_tag_offset=0):
+    """Consume one staged batch's fetched device outputs into a SoAState.
+
+    `fetched` is the device_get of staged.device_tree():
+    (collect outputs, classify outputs or None)."""
+    packed = staged.packed
+    builders = state.builders
+    contigs_pool = state.contigs_pool
+    reads_pool = state.reads_pool
+    twin_rows = state.twin_rows
+    getrname = (name_table.getrname if hasattr(name_table, "getrname")
+                else name_table.get_reference_name)
+
+    fetched_collect, fetched_classify = fetched
+    rerun, _result, max_events = staged.dispatched
     events = _consume_collect(packed, rerun, max_events, fetched_collect)
     _emit_indel_events_soa(packed, events, getrname, options, builders,
                            contigs_pool, reads_pool, twin_rows,
@@ -608,7 +742,7 @@ def signatures_from_packed_soa(packed, sa_tags, name_table, options,
     # the tables with row tags so ordering matches the object path
     split_sigs: Dict[int, List] = {}
     split_twins: Dict[int, List] = {}
-    for row in fallback_rows:
+    for row in staged.fallback_rows:
         from svim_tpu.collect.collect import retrieve_other_alignments
         from svim_tpu.collect.inter import analyze_read_segments
         record = packed.records[row]
@@ -621,9 +755,9 @@ def signatures_from_packed_soa(packed, sa_tags, name_table, options,
         split_twins.setdefault(row, []).extend(twin_sigs)
     if fetched_classify is not None:
         group_sizes = [min(1 + len(segs), MAX_SEGMENTS)
-                       for segs in group_sa_segments]
-        _emit_classified(group_rows, group_sizes, fetched_classify, packed,
-                         getrname, options, split_sigs, split_twins)
+                       for segs in staged.group_sa_segments]
+        _emit_classified(staged.group_rows, group_sizes, fetched_classify,
+                         packed, getrname, options, split_sigs, split_twins)
     if split_sigs:
         per_type: Dict[str, List] = {}
         for row, sigs in split_sigs.items():
@@ -637,6 +771,34 @@ def signatures_from_packed_soa(packed, sa_tags, name_table, options,
         for twin in twin_list:
             twin_rows.append((row + row_tag_offset, twin))
 
+
+def signatures_from_packed_soa(packed, sa_tags, name_table, options,
+                               dispatched=None, state=None,
+                               row_tag_offset=0):
+    """signatures_from_packed with struct-of-arrays output.
+
+    Returns (SignatureSoA, twins) where twins is the all_bnds object list.
+    CIGAR indel events (the dense mass) become table columns directly;
+    split-read signatures run through the object emitters (sparse) and are
+    appended to the tables with their packed-row tags, so each table's row
+    order equals the object path's per-type signature order exactly.
+
+    `state`/`row_tag_offset` serve the streaming scanner: batches append to
+    one shared SoAState under globally increasing row tags and the caller
+    finalizes once (this call then returns (None, None))."""
+    shared = state is not None
+    if state is None:
+        state = SoAState()
+    staged = stage_signatures_soa(packed, sa_tags, name_table, options,
+                                  dispatched=dispatched)
+    if staged is not None:
+        import jax
+
+        # one batched fetch for BOTH device passes (each device_get pays a
+        # full RPC round trip over the tunneled TPU)
+        fetched = jax.device_get(staged.device_tree())
+        consume_signatures_soa(staged, fetched, name_table, options, state,
+                               row_tag_offset=row_tag_offset)
     return (None, None) if shared else state.finalize()
 
 

@@ -242,16 +242,19 @@ def _stream_bam_fused(data, min_mapq: int, batch_reads: int,
                                              min_sv_size)
                 return
             raise ValueError("truncated or corrupt BGZF BAM window")
-        buffer, n, max_ops, body_offset, consumed = scanned
+        # buffer is a POOLED mmap: bytes at >= out_size are stale garbage
+        # from an earlier window — always slice by out_size, never len(buffer)
+        buffer, out_size, n, max_ops, body_offset, consumed = scanned
         if header is None:
-            if not len(buffer):
+            if not out_size:
                 raise ValueError("empty BAM stream")
             header, _parsed_offset = _parse_header(buffer)
             yield header
         if n:
             result = native.bamscan_native(
                 buffer, min_mapq, bucket_size, min_sv_size,
-                counted=(n, max_ops, body_offset), body_offset=body_offset)
+                counted=(n, max_ops, body_offset), body_offset=body_offset,
+                size=out_size)
             if result is None:
                 raise ValueError("window scan failed")
             (_text, _refs, _lens, cigar_words, ref_id, pos, mapq, flag,
@@ -266,7 +269,10 @@ def _stream_bam_fused(data, min_mapq: int, batch_reads: int,
                     sa_off[start:stop], sa_len[start:stop],
                     row_offset + start)
             row_offset += n
-        carry = bytes(buffer[consumed:])
+        carry = bytes(buffer[consumed:out_size])
+        # drop this frame's reference before the next window's scan so the
+        # pool can recycle the buffer once downstream batches release it
+        buffer = None
         walk_start = 0
 
 

@@ -152,6 +152,23 @@ def get_library():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int]
+        lib.bam_scan_session_start.restype = ctypes.c_void_p
+        lib.bam_scan_session_start.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int32, ctypes.c_int]
+        lib.bam_scan_session_next.restype = ctypes.c_int64
+        lib.bam_scan_session_next.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int)]
+        lib.bam_scan_session_fill.restype = ctypes.c_int
+        lib.bam_scan_session_fill.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+        lib.bam_scan_session_end.restype = ctypes.c_int
+        lib.bam_scan_session_end.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -399,6 +416,42 @@ def bam_carve_window(buffer: bytes, start: int, min_mapq: int, max_records: int)
     return trimmed, consumed.value, bool(exhausted.value)
 
 
+_WINDOW_POOL: list = []   # retired streaming-window mmaps, reused warm
+_WINDOW_POOL_LOCK = threading.Lock()
+_WINDOW_POOL_MAX = 8
+_WINDOW_STEP = 32 * 1024 * 1024
+
+
+def _window_buffer(size: int):
+    """Pooled anonymous mmap of capacity >= size (rounded to 32 MiB steps).
+
+    Fresh anonymous mmaps per streaming window hit this kernel's variable
+    page-compaction stalls (the same churn _stream_buffer avoids for the
+    one-shot scanner — measured 10-40x swings on identical windowed scans).
+    A retired buffer is reused only when nothing else references it; live
+    LazySequences/LazyStrings views of in-flight batches keep their window's
+    buffer out of rotation automatically."""
+    import mmap as mmap_mod
+    import sys
+
+    with _WINDOW_POOL_LOCK:
+        for buffer in _WINDOW_POOL:
+            # refs: pool list + loop variable + getrefcount argument
+            if len(buffer) >= size and sys.getrefcount(buffer) == 3:
+                return buffer
+        capacity = max(_WINDOW_STEP,
+                       (size + _WINDOW_STEP - 1) // _WINDOW_STEP * _WINDOW_STEP)
+        buffer = mmap_mod.mmap(-1, capacity)
+        _WINDOW_POOL.append(buffer)
+        if len(_WINDOW_POOL) > _WINDOW_POOL_MAX:
+            for stale in list(_WINDOW_POOL[:-_WINDOW_POOL_MAX]):
+                # refs: pool + list() copy + loop variable + getrefcount arg
+                if sys.getrefcount(stale) == 4:
+                    _WINDOW_POOL.remove(stale)
+                    stale.close()
+        return buffer
+
+
 def bam_scan_fused_window(compressed: bytes, prefix=b"", walk_start: int = -1,
                           min_mapq: int = 0, min_sv_size: int = 0,
                           n_threads: int = 0):
@@ -407,10 +460,12 @@ def bam_scan_fused_window(compressed: bytes, prefix=b"", walk_start: int = -1,
     window counterpart of bam_scan_fused).  walk_start -1 parses the BAM
     header first (window 0); 0 starts at the prefix (carried windows).
 
-    Returns (mmap buffer, n, max_ops, body_offset, consumed) or None.  A
-    bamscan_native(buffer, ..., counted=(n, max_ops, body_offset),
-    body_offset=body_offset) on the SAME thread memcpys the rows from the
-    cached offsets/compaction arena."""
+    Returns (buffer, out_size, n, max_ops, body_offset, consumed) or None.
+    The buffer is a POOLED mmap whose capacity may exceed out_size — bytes
+    at offsets >= out_size are stale garbage; consumers must slice by the
+    returned size, never relative to len(buffer).  A bamscan_native(buffer,
+    ..., counted=(n, max_ops, body_offset), body_offset=body_offset) on the
+    SAME thread memcpys the rows from the cached offsets/compaction arena."""
     lib = get_library()
     if lib is None:
         return None
@@ -424,9 +479,8 @@ def bam_scan_fused_window(compressed: bytes, prefix=b"", walk_start: int = -1,
         # a group of only zero-ISIZE blocks (e.g. an isolated BGZF EOF block
         # when the previous window ended exactly at the last data block) with
         # no carried prefix: a valid EMPTY window, not corruption
-        return b"", 0, 0, 0, 0
-    import mmap as mmap_mod
-    out = mmap_mod.mmap(-1, out_size)
+        return b"", 0, 0, 0, 0, 0
+    out = _window_buffer(out_size)
     if prefix:
         out[:len(prefix)] = prefix
     view = (ctypes.c_char * out_size).from_buffer(out)
@@ -441,9 +495,8 @@ def bam_scan_fused_window(compressed: bytes, prefix=b"", walk_start: int = -1,
         ctypes.byref(consumed))
     del view
     if status != 0:
-        out.close()
         return None
-    return out, n.value, max_ops.value, body.value, consumed.value
+    return out, out_size, n.value, max_ops.value, body.value, consumed.value
 
 
 def bgzf_decompress_with_prefix(data: bytes, prefix=b"", n_threads: int = 0):
@@ -604,9 +657,13 @@ def cigar_compact_rows(buffer, cigar_off, n_cigar, min_sv_size: int,
 
 def bamscan_native(data: bytes, min_mapq: int, bucket_size_fn,
                    min_sv_size: int = 0, counted=None, n_threads: int = 0,
-                   body_offset=None):
+                   body_offset=None, size=None):
     """Scan uncompressed BAM bytes natively.  Returns the same tuple layout as
     the Python scanner core, or None when the library is unavailable.
+
+    size: usable byte count of `data` when it is a POOLED buffer whose
+    capacity exceeds the stream (bam_scan_fused_window's out_size) — without
+    it the walk would run into stale garbage past the stream end.
 
     min_sv_size > 0 enables CIGAR compaction during the fill (sub-threshold
     op runs collapse into synthetic advance ops — see
@@ -622,6 +679,8 @@ def bamscan_native(data: bytes, min_mapq: int, bucket_size_fn,
     lib = get_library()
     if lib is None:
         return None
+    if size is None:
+        size = len(data)
     if body_offset is None:
         # header walk stays in Python (tiny)
         import struct
@@ -650,7 +709,7 @@ def bamscan_native(data: bytes, min_mapq: int, bucket_size_fn,
     else:
         n_out = ctypes.c_int64(0)
         max_ops_out = ctypes.c_int64(0)
-        if lib.bam_count(data_arg, len(data), body_offset, min_mapq,
+        if lib.bam_count(data_arg, size, body_offset, min_mapq,
                          min_sv_size, ctypes.byref(n_out),
                          ctypes.byref(max_ops_out)) != 0:
             raise ValueError("truncated BAM stream")
@@ -675,7 +734,7 @@ def bamscan_native(data: bytes, min_mapq: int, bucket_size_fn,
 
     if n_threads <= 0:
         n_threads = min(8, os.cpu_count() or 1)
-    if lib.bam_fill(data_arg, len(data), body_offset, min_mapq, min_sv_size, k,
+    if lib.bam_fill(data_arg, size, body_offset, min_mapq, min_sv_size, k,
                     ptr(cigar_words), ptr(ref_id), ptr(pos),
                     ptr(mapq), ptr(flag), ptr(name_off), ptr(name_len),
                     ptr(seq_off), ptr(seq_len), ptr(sa_off), ptr(sa_len),
@@ -683,3 +742,112 @@ def bamscan_native(data: bytes, min_mapq: int, bucket_size_fn,
         raise ValueError("truncated BAM stream")
     return (text, references, lengths, cigar_words, ref_id, pos,
             mapq, flag, name_off, name_len, seq_off, seq_len, sa_off, sa_len)
+
+class BamScanSession:
+    """Incremental whole-file scan: background inflate + record walk handing
+    row ranges to the caller as the walk passes them.
+
+    Same throughput as bam_scan_fused but without its all-or-nothing
+    barrier: the caller packs + dispatches device batches for rows [a, b)
+    while rows past b are still inflating (chunked scan/compute overlap —
+    the round-4 answer to the inflate floor being >40% of the warm path).
+
+    Usage:
+        session = BamScanSession(compressed, min_mapq, min_sv_size)
+        while True:
+            claim = session.next_rows(batch)   # blocks until ready
+            row_start, n, max_ops, body_offset, done = claim
+            if n: columns = session.fill(row_start, n, k)
+            if done: break
+        session.close()
+
+    The inflated stream is session.data (pooled bytearray, valid until the
+    next scan reuses it after close() AND all lazy views die).
+    """
+
+    def __init__(self, compressed: bytes, min_mapq: int, min_sv_size: int = 0,
+                 n_threads: int = 0):
+        lib = get_library()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        total = lib.bgzf_uncompressed_size(compressed, len(compressed))
+        if total <= 0:
+            raise ValueError("not a BGZF BAM stream")
+        if n_threads <= 0:
+            # 2 inflate workers saturate this path (measured: bandwidth-
+            # bound, 2 == 3 workers); the walker is its own thread, leaving
+            # a core for the caller's dispatch work
+            n_threads = max(1, min(8, (os.cpu_count() or 1) - 2))
+        self.data = _stream_buffer(total)
+        self._view = (ctypes.c_char * total).from_buffer(self.data)
+        self._compressed = compressed  # the workers read it; keep it alive
+        self._lib = lib
+        self._handle = lib.bam_scan_session_start(
+            compressed, len(compressed), self._view, total,
+            min_mapq, min_sv_size, n_threads)
+        if not self._handle:
+            del self._view
+            raise ValueError("not a BGZF BAM stream")
+
+    def next_rows(self, min_rows: int):
+        """Block until >= min_rows new rows exist (or the scan finished) and
+        claim them.  Returns (row_start, n, max_ops, body_offset, done)."""
+        row_start = ctypes.c_int64(0)
+        max_ops = ctypes.c_int64(0)
+        body = ctypes.c_int64(0)
+        done = ctypes.c_int(0)
+        n = self._lib.bam_scan_session_next(
+            self._handle, min_rows, ctypes.byref(row_start),
+            ctypes.byref(max_ops), ctypes.byref(body), ctypes.byref(done))
+        if n < 0:
+            status = int(n)
+            self.close()
+            raise ValueError(
+                "truncated or corrupt BGZF BAM stream (status {0})"
+                .format(status))
+        return (row_start.value, int(n), max_ops.value, body.value,
+                bool(done.value))
+
+    def fill(self, row_start: int, n: int, k: int, n_threads: int = 2):
+        """Column arrays for rows [row_start, row_start + n); cigar_words is
+        (n, k) int32.  Offsets address into self.data."""
+        import numpy as np
+
+        cigar_words = np.zeros((n, k), dtype=np.int32)
+        ref_id = np.empty(n, dtype=np.int32)
+        pos = np.empty(n, dtype=np.int32)
+        mapq = np.empty(n, dtype=np.int32)
+        flag = np.empty(n, dtype=np.int32)
+        name_off = np.empty(n, dtype=np.int64)
+        name_len = np.empty(n, dtype=np.int32)
+        seq_off = np.empty(n, dtype=np.int64)
+        seq_len = np.empty(n, dtype=np.int32)
+        sa_off = np.empty(n, dtype=np.int64)
+        sa_len = np.empty(n, dtype=np.int32)
+
+        def ptr(array):
+            return array.ctypes.data_as(ctypes.c_void_p)
+
+        if self._lib.bam_scan_session_fill(
+                self._handle, row_start, n, k, ptr(cigar_words), ptr(ref_id),
+                ptr(pos), ptr(mapq), ptr(flag), ptr(name_off), ptr(name_len),
+                ptr(seq_off), ptr(seq_len), ptr(sa_off), ptr(sa_len),
+                n_threads) != 0:
+            raise ValueError("scan session fill out of range")
+        return (cigar_words, ref_id, pos, mapq, flag, name_off, name_len,
+                seq_off, seq_len, sa_off, sa_len)
+
+    def close(self):
+        """Join the background threads and free the native session."""
+        if self._handle:
+            self._lib.bam_scan_session_end(self._handle)
+            self._handle = None
+        if self._view is not None:
+            del self._view
+            self._view = None
+
+    def __del__(self):  # safety net; close() is the real contract
+        try:
+            self.close()
+        except Exception:
+            pass

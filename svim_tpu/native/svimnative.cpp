@@ -1551,4 +1551,351 @@ int star_polish(const char* blob, const int64_t* lens, int n_seq,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Incremental scan session
+// ---------------------------------------------------------------------------
+//
+// The one-shot fused scan (bam_inflate_count) is all-or-nothing: the caller
+// blocks until the WHOLE stream is inflated and walked before any device
+// work can start.  The session runs the same inflate workers + record walk
+// on BACKGROUND threads and hands passing-record ranges to the caller as
+// the walk passes them, so Python can pack + dispatch device batches while
+// the scan is still running (chunked scan/compute overlap with the one-shot
+// scanner's throughput).  Replaces, for the array path, the serial ingest
+// the reference pays inside its COLLECT loop (SVIM_COLLECT.py:132-167).
+//
+// Lifecycle: start -> repeat (next -> fill) -> end.  The caller owns `comp`
+// and `out` and must keep both alive until end() returns.
+
+struct BamScanSession {
+  const uint8_t* comp = nullptr;
+  int64_t comp_size = 0;
+  uint8_t* out = nullptr;
+  int64_t out_size = 0;
+  int min_mapq = 0;
+  int32_t min_sv_size = 0;
+  std::vector<BgzfBlock> blocks;
+  std::vector<std::thread> threads;   // inflate workers + walker (last)
+  // inflate frontier (guarded by mu)
+  std::mutex mu;
+  std::condition_variable cv;
+  std::vector<uint8_t> done;
+  size_t prefix = 0;
+  int64_t avail = 0;
+  std::atomic<int64_t> next_block{0};
+  std::atomic<int> inflate_error{0};
+  // walker output (guarded by rows_mu; vectors may REALLOC on append, so
+  // readers must copy what they need under the lock)
+  std::mutex rows_mu;
+  std::condition_variable rows_cv;
+  std::vector<int64_t> offsets;       // per passing record: length-field offset
+  std::vector<int64_t> arena_off;     // per record: arena offset, -1 = raw row
+  std::vector<int32_t> arena_len;
+  std::vector<int32_t> row_ops;       // per record: final (compacted) op count
+  std::vector<int32_t> arena;         // compacted CIGAR words, ragged
+  int64_t body_offset = -1;
+  bool walk_done = false;
+  int walk_error = 0;                 // 0 ok, -1 truncated / not BAM
+  int64_t delivered = 0;              // rows already returned by session_next
+};
+
+static void bam_scan_session_walk(BamScanSession* s) {
+  int64_t avail_local = 0;
+  auto ensure = [&](int64_t need) -> bool {
+    if (need <= avail_local) return true;
+    if (need > s->out_size) return false;
+    std::unique_lock<std::mutex> lock(s->mu);
+    s->cv.wait(lock, [&] {
+      return s->avail >= need || s->inflate_error.load()
+             || s->prefix == s->blocks.size();
+    });
+    avail_local = s->avail;
+    return avail_local >= need;
+  };
+
+  // local chunk, published every few hundred rows to bound lock traffic
+  std::vector<int64_t> loc_off;
+  std::vector<int64_t> loc_aoff;
+  std::vector<int32_t> loc_alen;
+  std::vector<int32_t> loc_ops;
+  std::vector<int32_t> loc_arena;
+  auto publish = [&]() {
+    if (loc_off.empty()) return;
+    {
+      std::lock_guard<std::mutex> lock(s->rows_mu);
+      int64_t base = (int64_t)s->arena.size();
+      s->arena.insert(s->arena.end(), loc_arena.begin(), loc_arena.end());
+      for (size_t i = 0; i < loc_off.size(); ++i) {
+        s->offsets.push_back(loc_off[i]);
+        s->arena_off.push_back(loc_aoff[i] < 0 ? -1 : loc_aoff[i] + base);
+        s->arena_len.push_back(loc_alen[i]);
+        s->row_ops.push_back(loc_ops[i]);
+      }
+    }
+    loc_off.clear();
+    loc_aoff.clear();
+    loc_alen.clear();
+    loc_ops.clear();
+    loc_arena.clear();
+    s->rows_cv.notify_all();
+  };
+
+  const uint8_t* out = s->out;
+  const int64_t out_size = s->out_size;
+  int rc = 0;
+  do {
+    if (!ensure(12) || std::memcmp(out, "BAM\x01", 4) != 0) { rc = -1; break; }
+    int64_t off = 8 + (int64_t)rd_i32(out + 4);  // skip header text
+    if (!ensure(off + 4)) { rc = -1; break; }
+    int32_t n_ref = rd_i32(out + off);
+    off += 4;
+    for (int32_t i = 0; i < n_ref && rc == 0; ++i) {
+      if (!ensure(off + 4)) { rc = -1; break; }
+      off += 4 + (int64_t)rd_i32(out + off) + 4;  // l_name, name, l_ref
+    }
+    if (rc != 0 || !ensure(off)) { rc = -1; break; }
+    {
+      std::lock_guard<std::mutex> lock(s->rows_mu);
+      s->body_offset = off;
+    }
+    while (off + 4 <= out_size) {
+      if (!ensure(off + 4)) { rc = -1; break; }
+      int32_t block = rd_i32(out + off);
+      if (off + 4 + block > out_size || block < 32) { rc = -1; break; }
+      if (!ensure(off + 4 + block)) { rc = -1; break; }
+      const uint8_t* r = out + off + 4;
+      uint8_t mapq = r[9];
+      uint16_t n_cigar = rd_u16(r + 12);
+      uint16_t flag = rd_u16(r + 14);
+      if ((flag & (kFUnmap | kFSecondary)) == 0 && mapq >= s->min_mapq) {
+        int64_t final_ops = n_cigar;
+        int64_t aoff = -1;
+        int32_t alen = -1;
+        if (s->min_sv_size > 0 && n_cigar > 0) {
+          uint8_t l_read_name = r[8];
+          size_t base = loc_arena.size();
+          loc_arena.resize(base + n_cigar);
+          int64_t c = cigar_compact_core(r + 32 + l_read_name, n_cigar,
+                                         s->min_sv_size,
+                                         loc_arena.data() + base, n_cigar);
+          if (c >= 0) {
+            final_ops = c;
+            loc_arena.resize(base + (size_t)c);
+            aoff = (int64_t)base;
+            alen = (int32_t)c;
+          } else {
+            loc_arena.resize(base);
+          }
+        }
+        loc_off.push_back(off);
+        loc_aoff.push_back(aoff);
+        loc_alen.push_back(alen);
+        loc_ops.push_back((int32_t)final_ops);
+        if (loc_off.size() >= 512) publish();
+      }
+      off += 4 + block;
+    }
+  } while (false);
+  publish();
+  if (s->inflate_error.load()) rc = -3;
+  {
+    std::lock_guard<std::mutex> lock(s->rows_mu);
+    s->walk_error = rc;
+    s->walk_done = true;
+  }
+  s->rows_cv.notify_all();
+}
+
+void* bam_scan_session_start(const uint8_t* comp, int64_t comp_size,
+                             uint8_t* out, int64_t out_size,
+                             int min_mapq, int32_t min_sv_size,
+                             int n_threads) {
+  BamScanSession* s = new BamScanSession();
+  s->comp = comp;
+  s->comp_size = comp_size;
+  s->out = out;
+  s->out_size = out_size;
+  s->min_mapq = min_mapq;
+  s->min_sv_size = min_sv_size;
+  int64_t total = 0;
+  if (scan_bgzf(comp, comp_size, &s->blocks, &total) != 0
+      || total != out_size) {
+    delete s;
+    return nullptr;
+  }
+  if (n_threads < 1) n_threads = 1;
+  s->done.assign(s->blocks.size(), 0);
+  auto worker = [s]() {
+    const LibdeflateApi& api = libdeflate_api();
+    void* ld_state = api.alloc ? api.alloc() : nullptr;
+    for (;;) {
+      int64_t b = s->next_block.fetch_add(1);
+      if (b >= (int64_t)s->blocks.size()) break;
+      if (inflate_one_block(api, ld_state, s->comp, s->blocks[b], s->out)
+          != 0) {
+        s->inflate_error.store(1);
+        break;
+      }
+      {
+        std::lock_guard<std::mutex> lock(s->mu);
+        s->done[b] = 1;
+        while (s->prefix < s->blocks.size() && s->done[s->prefix]) {
+          s->avail = s->blocks[s->prefix].out_off
+                     + s->blocks[s->prefix].out_size;
+          s->prefix++;
+        }
+      }
+      s->cv.notify_all();
+    }
+    if (ld_state) api.release(ld_state);
+    s->cv.notify_all();
+  };
+  for (int t = 0; t < n_threads; ++t) s->threads.emplace_back(worker);
+  s->threads.emplace_back(bam_scan_session_walk, s);
+  return s;
+}
+
+// Block until >= min_rows NEW rows are available (or the walk finished),
+// then claim them: *out_row_start = first new row, return value = row count
+// (0 only when the walk is done and everything was claimed).  *out_max_ops
+// = max final op count over the claimed rows; *out_body_offset = the BAM
+// body offset (valid once the header parsed — always by the first return);
+// *out_done = 1 when no more rows will ever arrive.  Returns -1 on a walk
+// error (truncated / not BAM), -3 on an inflate error.
+int64_t bam_scan_session_next(void* handle, int64_t min_rows,
+                              int64_t* out_row_start, int64_t* out_max_ops,
+                              int64_t* out_body_offset, int* out_done) {
+  BamScanSession* s = (BamScanSession*)handle;
+  std::unique_lock<std::mutex> lock(s->rows_mu);
+  s->rows_cv.wait(lock, [&] {
+    return s->walk_done
+           || (int64_t)s->offsets.size() - s->delivered >= min_rows;
+  });
+  if (s->walk_done && s->walk_error != 0) return s->walk_error;
+  int64_t row_start = s->delivered;
+  int64_t n = (int64_t)s->offsets.size() - s->delivered;
+  int64_t max_ops = 1;
+  for (int64_t i = row_start; i < row_start + n; ++i)
+    if (s->row_ops[i] > max_ops) max_ops = s->row_ops[i];
+  s->delivered += n;
+  *out_row_start = row_start;
+  *out_max_ops = max_ops;
+  *out_body_offset = s->body_offset;
+  *out_done = (s->walk_done
+               && s->delivered == (int64_t)s->offsets.size()) ? 1 : 0;
+  return n;
+}
+
+// Fill preallocated columns for rows [row_start, row_start + n) — the
+// session counterpart of bam_fill's cached fast path.  cigar_words is
+// (n, k) int32, caller-zeroed.  Offsets address into the session's `out`
+// buffer.  Safe to call while the walk is still running (the claimed rows'
+// bytes are final; bookkeeping is copied under the lock).
+int bam_scan_session_fill(void* handle, int64_t row_start, int64_t n,
+                          int64_t k, int32_t* cigar_words,
+                          int32_t* ref_id, int32_t* pos, int32_t* mapq_out,
+                          int32_t* flag_out,
+                          int64_t* name_off, int32_t* name_len,
+                          int64_t* seq_off, int32_t* seq_len,
+                          int64_t* sa_off, int32_t* sa_len, int n_threads) {
+  BamScanSession* s = (BamScanSession*)handle;
+  if (n <= 0) return 0;
+  // copy the bookkeeping slices under the lock: the walker may reallocate
+  // the shared vectors while it appends
+  std::vector<int64_t> offs(n);
+  std::vector<int64_t> aoffs(n);
+  std::vector<int32_t> alens(n);
+  std::vector<int32_t> arena_words;
+  int64_t arena_lo = -1;
+  {
+    std::lock_guard<std::mutex> lock(s->rows_mu);
+    if (row_start + n > (int64_t)s->offsets.size()) return -1;
+    std::memcpy(offs.data(), s->offsets.data() + row_start, 8 * (size_t)n);
+    std::memcpy(aoffs.data(), s->arena_off.data() + row_start, 8 * (size_t)n);
+    std::memcpy(alens.data(), s->arena_len.data() + row_start, 4 * (size_t)n);
+    int64_t arena_hi = -1;
+    for (int64_t i = 0; i < n; ++i) {
+      if (aoffs[i] < 0) continue;
+      if (arena_lo < 0 || aoffs[i] < arena_lo) arena_lo = aoffs[i];
+      if (aoffs[i] + alens[i] > arena_hi) arena_hi = aoffs[i] + alens[i];
+    }
+    if (arena_lo >= 0) {
+      arena_words.resize((size_t)(arena_hi - arena_lo));
+      std::memcpy(arena_words.data(), s->arena.data() + arena_lo,
+                  4 * arena_words.size());
+    }
+  }
+  const uint8_t* data = s->out;
+  auto fill_one = [&](int64_t i) {
+    int64_t off = offs[i];
+    int32_t block = rd_i32(data + off);
+    off += 4;
+    const uint8_t* r = data + off;
+    uint8_t l_read_name = r[8];
+    uint16_t n_cigar = rd_u16(r + 12);
+    ref_id[i] = rd_i32(data + off);
+    pos[i] = rd_i32(data + off + 4);
+    mapq_out[i] = r[9];
+    flag_out[i] = rd_u16(r + 14);
+    int32_t l_seq = rd_i32(data + off + 16);
+    int64_t p = off + 32;
+    name_off[i] = p;
+    name_len[i] = l_read_name - 1;
+    p += l_read_name;
+    int64_t written = -1;
+    if (aoffs[i] >= 0 && alens[i] <= k) {
+      std::memcpy(cigar_words + i * k,
+                  arena_words.data() + (aoffs[i] - arena_lo),
+                  sizeof(int32_t) * (size_t)alens[i]);
+      written = alens[i];
+    }
+    if (written < 0) {
+      int64_t ops_to_copy = n_cigar < k ? n_cigar : k;
+      std::memcpy(cigar_words + i * k, data + p, 4 * ops_to_copy);
+    }
+    p += 4 * (int64_t)n_cigar;
+    seq_off[i] = p;
+    seq_len[i] = l_seq;
+    p += (l_seq + 1) / 2 + l_seq;
+    int64_t sa = find_sa(data, p, off + block);
+    if (sa >= 0) {
+      int64_t nul = sa;
+      int64_t end = off + block;
+      while (nul < end && data[nul] != 0) nul++;
+      sa_off[i] = sa;
+      sa_len[i] = (int32_t)(nul - sa);
+    } else {
+      sa_off[i] = -1;
+      sa_len[i] = 0;
+    }
+  };
+  if (n_threads < 1) n_threads = 1;
+  if ((int64_t)n_threads > n) n_threads = (int)n;
+  if (n_threads == 1) {
+    for (int64_t i = 0; i < n; ++i) fill_one(i);
+  } else {
+    auto span = [&](int worker_id) {
+      const int64_t lo = n * worker_id / n_threads;
+      const int64_t hi = n * (worker_id + 1) / n_threads;
+      for (int64_t i = lo; i < hi; ++i) fill_one(i);
+    };
+    std::vector<std::thread> threads;
+    for (int t = 1; t < n_threads; ++t) threads.emplace_back(span, t);
+    span(0);
+    for (auto& thread : threads) thread.join();
+  }
+  return 0;
+}
+
+// Join the session's threads and free it.  Returns the final walk status
+// (0 ok, -1 truncated/not BAM, -3 inflate failure).
+int bam_scan_session_end(void* handle) {
+  BamScanSession* s = (BamScanSession*)handle;
+  for (auto& thread : s->threads) thread.join();
+  int rc = s->walk_error;
+  if (s->inflate_error.load()) rc = -3;
+  delete s;
+  return rc;
+}
+
 }  // extern "C"
