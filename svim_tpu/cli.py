@@ -125,7 +125,7 @@ def _collect(options):
         from svim_tpu.parallel.multihost import collect_distributed
         merged_index, sigs, trans = collect_distributed(options)
         logging.info("Distributed COLLECT merged {0} signatures across {1} "
-                     "processes".format(len(sigs), _process_count()))
+                     "processes".format(sigs.total(), _process_count()))
         return merged_index, sigs, trans, options
     if is_bgzf and options.device_backend != "host":
         # cheap sort-order peek, then the packed scanner + device kernels for
@@ -219,7 +219,17 @@ def run_pipeline(options):
 
     logging.info("****************** STEP 2: CLUSTER ******************")
     with timer.stage("cluster", trace=True):
-        signature_clusters = cluster_sv_signatures(sv_signatures, options)
+        if (getattr(options, "distributed", False) and _process_count() > 1
+                and isinstance(sv_signatures, SignatureSoA)):
+            # per-partition linkage sharded across ranks; identical global
+            # cluster lists come back on every rank (parallel/cluster_shard)
+            from svim_tpu.parallel.cluster_shard import (
+                cluster_sv_signatures_sharded,
+            )
+            signature_clusters = cluster_sv_signatures_sharded(sv_signatures,
+                                                               options)
+        else:
+            signature_clusters = cluster_sv_signatures(sv_signatures, options)
         translocation_clusters_all_bnds = None
         if options.all_bnds:
             root_logger.setLevel(logging.WARNING)

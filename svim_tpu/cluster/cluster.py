@@ -124,8 +124,9 @@ def dispatch_clusters_from_partitions(partitions, reference, options,
     # 3..128-element partitions compute their eds ON DEVICE inside
     # dispatch_ins_resident; precompute only what the host path will touch.
     if partitions and partitions[0] and _partition_type(partitions[0]) == "INS":
+        from svim_tpu.cluster.device_cluster import ins_resident_enabled
         resident_mode = (
-            getattr(options, "edit_backend", "auto") == "wavefront"
+            ins_resident_enabled(options)
             and getattr(options, "cluster_backend", "device") != "exact")
         work.ed_cache = accel.precompute_ins_edit_distances(
             [s for s in work.samples

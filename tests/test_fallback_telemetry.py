@@ -97,3 +97,57 @@ def test_wasted_dispatch_rate_bounded_on_bench_workload(options):
     cluster_sv_signatures(signatures, options)
     assert TELEMETRY.eligible >= 40
     assert TELEMETRY.wasted_fraction <= 0.05, TELEMETRY.as_dict()
+
+def test_resident_ins_route_fallback_rate_bounded(options):
+    """VERDICT r3 #2: gate the device-resident INS route's fallback RATE so
+    a regression that silently pushes most partitions back to host fails CI.
+    Noisy INS motif clusters (unique reads per partition — the standard
+    shape) must overwhelmingly resolve from the kernel's labeling."""
+    rng = random.Random(99)
+    signatures = []
+    for locus in range(20):
+        base = 20_000 + locus * 15_000
+        size = rng.randint(60, 400)
+        motif = "".join(rng.choice("ACGT") for _ in range(size))
+        for member in range(10):
+            noisy = list(motif)
+            for _ in range(rng.randint(1, 5)):
+                noisy[rng.randrange(len(noisy))] = rng.choice("ACGT")
+            signatures.append(SignatureInsertion(
+                "chr1", base + rng.randint(-10, 10), base + size, "cigar",
+                "read_r{0}_{1}".format(locus, member), "".join(noisy)))
+    resident_options = options.replace(edit_backend="wavefront")
+    cluster_sv_signatures(signatures, resident_options)
+    assert TELEMETRY.eligible >= 20
+    # the expensive work (wavefront edit distances) must come from the
+    # device: true host fallbacks (ed recompute) stay rare.  Near-tied merge
+    # heights re-link on host over the DEVICE eds (resident_relink) — that
+    # is intrinsic to deep near-identical haplotypes, costs only the
+    # O(n^3 | n<=100) linkage, and is bounded separately.
+    assert TELEMETRY.fallback_fraction <= 0.2, TELEMETRY.as_dict()
+    assert TELEMETRY.wasted_fraction <= 0.05, TELEMETRY.as_dict()
+    assert TELEMETRY.resident_relink <= 0.7 * TELEMETRY.eligible, \
+        TELEMETRY.as_dict()
+
+
+def test_auto_backend_resident_predicate():
+    """'auto' engages the resident route exactly on TPU platforms; explicit
+    settings override the platform."""
+    from svim_tpu.cluster import device_cluster
+    from svim_tpu.config import parse_arguments
+
+    options = parse_arguments(arguments=["alignment", "wd", "x.bam", "g.fa"])
+    saved = device_cluster._PLATFORM_IS_TPU
+    try:
+        device_cluster._PLATFORM_IS_TPU = True
+        assert device_cluster.ins_resident_enabled(options)
+        assert not device_cluster.ins_resident_enabled(
+            options.replace(cluster_backend="exact"))
+        assert not device_cluster.ins_resident_enabled(
+            options.replace(edit_backend="python"))
+        device_cluster._PLATFORM_IS_TPU = False
+        assert not device_cluster.ins_resident_enabled(options)
+        assert device_cluster.ins_resident_enabled(
+            options.replace(edit_backend="wavefront"))
+    finally:
+        device_cluster._PLATFORM_IS_TPU = saved
