@@ -1,7 +1,9 @@
 """Run the UNMODIFIED reference SVIM (/root/reference/src/svim) in-process
 against this repo's pysam/edlib/spoa/cpuinfo shims.
 
-Usage: python tests/shims/run_reference.py <working_dir> <bam> <genome> [extra args...]
+Usage: python tests/shims/run_reference.py [alignment|reads] <working_dir> \
+           <bam_or_reads> <genome> [extra args...]
+(the subcommand defaults to "alignment" for backward compatibility)
 
 Run as a subprocess from tests so the reference's root-logger mutation and
 module imports stay isolated.  sys.path[0] is this directory, so the shim
@@ -28,7 +30,10 @@ def main(argv):
                                                   REFERENCE_DRIVER)
     spec = importlib.util.spec_from_loader(loader.name, loader)
     module = importlib.util.module_from_spec(spec)
-    sys.argv = [REFERENCE_DRIVER, "alignment"] + argv
+    mode = "alignment"
+    if argv and argv[0] in ("alignment", "reads"):
+        mode = argv.pop(0)
+    sys.argv = [REFERENCE_DRIVER, mode] + argv
     loader.exec_module(module)
     return module.main()
 

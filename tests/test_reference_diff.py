@@ -114,3 +114,101 @@ def test_reference_vcf_parity_flag_matrix(sim_dataset, flags):
     _run_reference(wd_ref, bam, genome, extra=flags)
     assert main(["alignment", wd_ours, bam, genome] + flags) == 0
     _diff_tree(wd_ref, wd_ours)
+
+
+def _record_to_sam(record, getrname):
+    """Minimal SAM line for a decoded record (fields the pipeline reads)."""
+    fields = [record.query_name, str(record.flag),
+              getrname(record.reference_id), str(record.reference_start + 1),
+              str(record.mapping_quality), record.cigarstring or "*",
+              "*", "0", "0", record.query_sequence or "*", "*"]
+    if record.has_tag("SA"):
+        fields.append("SA:Z:{0}".format(record.get_tag("SA")))
+    return "\t".join(fields)
+
+
+def test_reference_querysorted_parity(sim_dataset, tmp_path):
+    """Queryname-sorted input: the reference's bam_iterator path with REAL
+    supplementary records (SVIM_COLLECT.py:96-130, genotyping force-disabled
+    svim:104-106) vs this repo's packed querysorted route — never diffed
+    before round 4 (VERDICT r3 #8)."""
+    out, bam, genome = sim_dataset
+    from svim_tpu.io import bam as bamio
+    from svim_tpu.io.sam import AlignmentFile, AlignmentHeader
+
+    source = AlignmentFile(bam)
+    records = sorted(source.fetch(until_eof=True),
+                     key=lambda record: record.query_name)
+    sq_lines = ["@SQ\tSN:{0}\tLN:{1}".format(name, length)
+                for name, length in zip(source.references, source.lengths)]
+    header = AlignmentHeader.from_text(
+        "@HD\tVN:1.6\tSO:queryname\n" + "\n".join(sq_lines) + "\n")
+    qbam = str(tmp_path / "querysorted.bam")
+    bamio.write_bam(qbam, header, records)
+
+    wd_ref = str(tmp_path / "wd_ref_qsort")
+    wd_ours = str(tmp_path / "wd_ours_qsort")
+    _run_reference(wd_ref, qbam, genome)
+    assert main(["alignment", wd_ours, qbam, genome]) == 0
+    _diff_tree(wd_ref, wd_ours)
+
+
+def _run_reference_reads(workdir, reads, genome, extra=()):
+    proc = subprocess.run(
+        [sys.executable, RUNNER, "reads", workdir, reads, genome]
+        + list(extra), capture_output=True, text=True, timeout=600)
+    if proc.returncode != 0:
+        assert "legendHandles" in proc.stderr, proc.stderr
+        assert os.path.exists(os.path.join(workdir, "variants.vcf")), proc.stderr
+
+
+def test_reference_reads_mode_parity(sim_dataset, tmp_path, monkeypatch):
+    """reads-mode: both implementations drive the SAME stub
+    ngmlr/samtools/gunzip binaries (tests/test_reads_mode.py), so they align
+    the identical BAM from the sim dataset's records and every downstream
+    file must byte-match (VERDICT r3 #8: reads-mode was never diffed)."""
+    import stat as stat_module
+
+    from tests.test_reads_mode import (
+        _ALIGNER_STUB,
+        _GUNZIP_STUB,
+        _SAMTOOLS_STUB,
+        REPO_ROOT,
+    )
+
+    out, bam, genome = sim_dataset
+    bin_dir = tmp_path / "bin"
+    bin_dir.mkdir()
+    for name, template in (("ngmlr", _ALIGNER_STUB),
+                           ("minimap2", _ALIGNER_STUB),
+                           ("samtools", _SAMTOOLS_STUB),
+                           ("gunzip", _GUNZIP_STUB)):
+        path = bin_dir / name
+        path.write_text(template.format(python=sys.executable, name=name,
+                                        repo=REPO_ROOT))
+        path.chmod(path.stat().st_mode | stat_module.S_IXUSR
+                   | stat_module.S_IXGRP | stat_module.S_IXOTH)
+
+    # the stub aligner "produces" the sim dataset's alignments as SAM
+    from svim_tpu.io.sam import AlignmentFile
+    source = AlignmentFile(bam)
+    lines = ["@HD\tVN:1.6\tSO:unknown"]
+    lines.extend("@SQ\tSN:{0}\tLN:{1}".format(name, length)
+                 for name, length in zip(source.references, source.lengths))
+    lines.extend(_record_to_sam(record, source.getrname)
+                 for record in source.fetch(until_eof=True))
+    sam_path = tmp_path / "stub_output.sam"
+    sam_path.write_text("\n".join(lines) + "\n")
+    log_path = tmp_path / "stub_calls.log"
+    log_path.write_text("")
+    monkeypatch.setenv("PATH", str(bin_dir) + os.pathsep + os.environ["PATH"])
+    monkeypatch.setenv("SVIM_STUB_SAM", str(sam_path))
+    monkeypatch.setenv("SVIM_STUB_LOG", str(log_path))
+    reads_path = tmp_path / "sample.fastq"
+    reads_path.write_text("@read0\nACGT\n+\n!!!!\n")
+
+    wd_ref = str(tmp_path / "wd_ref_reads")
+    wd_ours = str(tmp_path / "wd_ours_reads")
+    _run_reference_reads(wd_ref, str(reads_path), genome)
+    assert main(["reads", wd_ours, str(reads_path), genome]) == 0
+    _diff_tree(wd_ref, wd_ours)
