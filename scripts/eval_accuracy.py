@@ -3,7 +3,13 @@
 report per-class precision/recall/F1 vs the simulated truth
 (BASELINE config 2 shape).
 
-Usage: python scripts/eval_accuracy.py [seed] [--big]
+Usage: python scripts/eval_accuracy.py [seed] [--big | --independent]
+
+--independent runs the INDEPENDENT donor-genome harness (svim_tpu/sim2.py):
+SVs applied to a donor haplotype, reads sampled from both strands and both
+haplotypes, alignments derived by projection — a different generator family
+from sim.py (VERDICT r3 #6), including the DUP_TAN-vs-INS representation
+ambiguity whose surviving INS records are documented precision cost.
 
 --big runs the large-scale stress harness: 54 Mb over five contigs, 15%
 of each contig under repeat arrays, 12% per-base read noise, ~215 SV
@@ -31,9 +37,30 @@ def main():
     from svim_tpu.cli import main as run_cli
     from svim_tpu.sim import SimConfig, evaluate_vcf, f1, simulate
 
-    args = [a for a in sys.argv[1:] if a != "--big"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     big = "--big" in sys.argv[1:]
+    independent = "--independent" in sys.argv[1:]
     seed = int(args[0]) if args else 1
+    if independent:
+        from svim_tpu.sim2 import Sim2Config, simulate_independent
+
+        out_dir = tempfile.mkdtemp(prefix="svim_eval2_")
+        start = time.time()
+        genome_path, bam_path, truth = simulate_independent(
+            out_dir, Sim2Config(seed=seed))
+        sim_seconds = time.time() - start
+        workdir = os.path.join(out_dir, "wd")
+        start = time.time()
+        assert run_cli(["alignment", workdir, bam_path, genome_path]) == 0
+        print(json.dumps({"harness": "independent (donor-genome projection)",
+                          "truth_records": len(truth),
+                          "sim_s": round(sim_seconds, 1),
+                          "pipeline_s": round(time.time() - start, 1)}))
+        results = evaluate_vcf(os.path.join(workdir, "variants.vcf"), truth)
+        for svtype, (tp, fp, fn) in sorted(results.items()):
+            print(json.dumps({"svtype": svtype, "tp": tp, "fp": fp, "fn": fn,
+                              "f1": round(f1(tp, fp, fn), 3)}))
+        return
     if big:
         config = SimConfig(
             seed=seed, genome_length=18_000_000,

@@ -189,13 +189,14 @@ def _signatures_from_grouped_packed(packed, group_sizes, name_table, options):
 
 
 # streaming exists for bounded memory: the one-shot scanner holds the whole
-# uncompressed stream (~12x the compressed size for long-read BAMs).  With
-# the one-shot scan free of buffer churn it beats streaming whenever the
-# stream fits comfortably (measured round 2: 0.8-1.2 s vs 2.0-2.1 s at 8192
-# reads — streaming pays ~0.26 s of per-batch dispatch/fetch round trips over
-# the tunnel), so only inputs whose inflated size threatens RAM stream by
-# default; --stream_input forces it.
-STREAMING_THRESHOLD_BYTES = 256 * 1024 * 1024
+# uncompressed stream (~12x the compressed size for long-read BAMs).  After
+# the round-4 window-buffer pool + prefetch pipeline, streaming BEATS the
+# one-shot above ~100 MB compressed (measured: 199 MB BAM 1.1 s streaming vs
+# 1.4-5.2 s one-shot — the multi-GB resident buffer pays this kernel's page
+# churn; 99 MB is a tie; 25 MB one-shot wins 0.165 vs 0.19), so the
+# threshold sits at the crossover and --stream_input forces streaming below
+# it.
+STREAMING_THRESHOLD_BYTES = 96 * 1024 * 1024
 
 
 def collect_signatures_from_bam(bam_path: str, options):

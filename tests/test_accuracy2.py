@@ -1,0 +1,96 @@
+"""Accuracy on the INDEPENDENT donor-genome harness (svim_tpu/sim2.py).
+
+VERDICT r3 #6: F1=1.0 against sim.py was self-referential.  sim2 applies
+SVs to a donor haplotype and derives alignments by projecting sampled reads
+(both strands, diploid mixing, multi-SV reads, per-base noise) — a
+different generator family sharing no helpers with sim.py.  Includes the
+confusion cases: short tandem duplications represented as INSERTIONS by
+half the reads (whose surviving INS records are SVIM semantics — the
+reference's tan-dup sweep only runs once the int-dup iterator is exhausted,
+SVIM_COMBINE.py:404-457 — and count as documented precision cost), and
+cut&paste DUP:INT whose origin deletion must flag CUTPASTE."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from svim_tpu.sim import evaluate_vcf, f1
+from svim_tpu.sim2 import Sim2Config, simulate_independent
+
+pytestmark = pytest.mark.slow
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_independent_harness_accuracy(tmp_path):
+    genome, bam, truth = simulate_independent(str(tmp_path),
+                                              Sim2Config(seed=5))
+    wd = str(tmp_path / "wd")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO_ROOT)
+    proc = subprocess.run(
+        [sys.executable, "-m", "svim_tpu", "alignment", wd, bam, genome],
+        capture_output=True, text=True, timeout=900, env=env)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    results = evaluate_vcf(os.path.join(wd, "variants.vcf"), truth)
+
+    config = Sim2Config(seed=5)
+    for svtype, (tp, fp, fn) in results.items():
+        # perfect recall on every class — donor evidence is unambiguous
+        assert fn == 0, (svtype, results[svtype])
+    # precision: no false positives anywhere EXCEPT the documented
+    # DUP_TAN-vs-INS representation ambiguity (bounded by its case count)
+    for svtype in ("DEL", "INV", "DUP:TANDEM", "DUP:INT", "BND"):
+        assert results[svtype][1] == 0, (svtype, results[svtype])
+    assert results["INS"][1] <= config.n_tan_short, results["INS"]
+    assert f1(*results["ALL"]) >= 0.95, results["ALL"]
+    # truth BED landed next to the outputs
+    assert os.path.exists(os.path.join(str(tmp_path), "truth.bed"))
+
+
+def test_projection_round_trip_sequences(tmp_path):
+    """The projected alignments must be SEQUENCE-CONSISTENT: for every
+    primary record, applying its CIGAR to the stored SEQ reproduces the
+    reference bases over every M op (catches frame bugs in the projector
+    itself, independent of the SV caller)."""
+    import re
+
+    genome, bam, _truth = simulate_independent(
+        str(tmp_path), Sim2Config(seed=9, contig_lengths=(400_000, 250_000),
+                                  coverage=4, n_del=3, n_ins=3, n_inv=2,
+                                  n_tan=2, n_tan_short=1, n_dup_int=1,
+                                  n_dup_int_cutpaste=1, n_bnd=1))
+    from svim_tpu.io.fasta import FastaFile
+    from svim_tpu.io.sam import AlignmentFile
+
+    mismatching_bases = total_bases = 0
+    with FastaFile(genome) as reference:
+        bamfile = AlignmentFile(bam)
+        for record in bamfile.fetch(until_eof=True):
+            if record.flag & 0x800 or record.query_sequence is None:
+                continue
+            contig = bamfile.getrname(record.reference_id)
+            ref_pos = record.reference_start
+            read_pos = 0
+            for length, op in re.findall(r"(\d+)([MIDSH])",
+                                         record.cigarstring):
+                length = int(length)
+                if op == "M":
+                    ref_bases = reference.fetch(contig, ref_pos,
+                                                ref_pos + length)
+                    read_bases = record.query_sequence[
+                        read_pos:read_pos + length]
+                    mismatching_bases += sum(
+                        1 for a, b in zip(ref_bases, read_bases) if a != b)
+                    total_bases += length
+                    ref_pos += length
+                    read_pos += length
+                elif op == "D":
+                    ref_pos += length
+                elif op in ("I", "S"):
+                    read_pos += length
+    assert total_bases > 500_000
+    # only sequencing substitutions may mismatch (2% + small indel smear)
+    assert mismatching_bases / total_bases < 0.05, (
+        mismatching_bases / total_bases)
