@@ -622,7 +622,23 @@ def dispatch_partitions_device(samples: List[list], element_type: str,
                                batcher)
     if element_type in MATRIX_TYPES:
         if ins_resident_enabled(options):
-            return dispatch_ins_resident(samples, reference, options, batcher)
+            try:
+                return dispatch_ins_resident(samples, reference, options,
+                                             batcher)
+            except Exception as error:
+                # the default path must never die on a device/compiler
+                # limit (e.g. a Pallas scoped-VMEM overflow on an unusual
+                # shape): drop the partial device registrations and run the
+                # host-ED matrix route instead
+                import logging
+                logging.warning(
+                    "device-resident INS route failed (%s); falling back to "
+                    "the host edit-distance batch", error)
+                for key in [k for k in batcher.extra_outputs
+                            if k[0] in ("ins_ed", "ins_res")]:
+                    del batcher.extra_outputs[key]
+                ed_cache = accel.precompute_ins_edit_distances(
+                    [s for s in samples if len(s) >= 2], reference, options)
         return _dispatch_matrix(samples, element_type, reference, options,
                                 ed_cache, batcher)
     raise ValueError("unknown signature type {0}".format(element_type))

@@ -296,11 +296,17 @@ def _batch_chunk_for(band: int) -> int:
 
 def _pallas_tile_b(length: int, band: int) -> int:
     """Largest power-of-two batch tile whose VMEM working set (two code rows
-    + ~6 front/window arrays) stays within ~10 MB."""
+    + ~6 front/window arrays) stays within ~4 MB.
+
+    The budget must leave room for Pallas' double-buffered block pipeline
+    plus kernel temporaries: the real TPU's 16 MB scoped-vmem limit was
+    measured to see ~3.7x this estimate (a tile-64 length-1024 band-1024
+    call demanded 16.46 MB and failed AOT compilation — round 4), so 4 MB
+    here keeps the worst case near 8 MB on-chip."""
     k_width = _round_up(2 * band + 1, 128)
     bytes_per_row = 2 * length * 4 + 7 * k_width * 4
     tile = 8
-    while tile * 2 * bytes_per_row <= 10 * 1024 * 1024 and tile < 256:
+    while tile * 2 * bytes_per_row <= 4 * 1024 * 1024 and tile < 256:
         tile *= 2
     return tile
 
