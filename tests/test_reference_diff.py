@@ -212,3 +212,22 @@ def test_reference_reads_mode_parity(sim_dataset, tmp_path, monkeypatch):
     _run_reference_reads(wd_ref, str(reads_path), genome)
     assert main(["reads", wd_ours, str(reads_path), genome]) == 0
     _diff_tree(wd_ref, wd_ours)
+
+
+def test_reference_parity_on_independent_harness(tmp_path):
+    """Byte parity on the INDEPENDENT donor-genome dataset (sim2): both
+    sequencing strands, real supplementary records from projection, reads
+    spanning multiple SVs, mixed DUP representations — input shapes the
+    sim.py fixtures never produce."""
+    from svim_tpu.sim2 import Sim2Config, simulate_independent
+
+    genome, bam, _truth = simulate_independent(
+        str(tmp_path), Sim2Config(seed=13, contig_lengths=(500_000, 300_000),
+                                  coverage=8, n_del=3, n_ins=3, n_inv=2,
+                                  n_tan=2, n_tan_short=2, n_dup_int=1,
+                                  n_dup_int_cutpaste=1, n_bnd=1))
+    wd_ref = str(tmp_path / "wd_ref_ind")
+    wd_ours = str(tmp_path / "wd_ours_ind")
+    _run_reference(wd_ref, bam, genome)
+    assert main(["alignment", wd_ours, bam, genome]) == 0
+    _diff_tree(wd_ref, wd_ours)
