@@ -658,16 +658,22 @@ def _default_platform_is_tpu() -> bool:
     return _PLATFORM_IS_TPU
 
 
+# Round-4 auto-default experiment, MEASURED on the real (tunneled) TPU v5
+# chip: with the resident route as the TPU default, the bench CLUSTER stage
+# ran 2.3-2.9 s vs 0.06 s on the host ED batch — every deep-coverage INS
+# partition's labeling was rejected by the near-tie guard (96/96
+# resident_relink: near-identical haplotypes produce near-tied merge
+# heights), so the device wavefront + agglomeration work was paid only to
+# re-link on host, and each pad/band bucket added tunnel dispatch latency.
+# There is NO measured regime on this hardware where the resident route
+# beats the native host batch (round 3 measured the same for 26k x 490 bp
+# AND 64 x 7.8 kb shapes), so "auto" stays on the host path; set
+# SVIM_RESIDENT_INS_AUTO=1 (attached silicon, where host cores are the
+# scarce resource and dispatch latency is microseconds) or
+# --edit_backend wavefront to engage it.
 def ins_resident_enabled(options) -> bool:
     """Should INS clustering run the device-resident route (on-device
-    wavefront eds -> on-device matrices -> agglomeration)?
-
-    --edit_backend wavefront forces it; the default "auto" engages it on
-    real TPU hardware (VERDICT r3 #2: the flagship Pallas kernel belongs in
-    the default path where the accelerator, not the host core count, is the
-    fast resource), and keeps the native host batch on CPU backends where
-    the kernel would share the same cores it competes with.  "python"
-    (and the exact cluster backend) always stay on the host path."""
+    wavefront eds -> on-device matrices -> agglomeration)?"""
     backend = getattr(options, "edit_backend", "auto")
     if backend == "wavefront":
         return True
@@ -675,7 +681,9 @@ def ins_resident_enabled(options) -> bool:
         return False
     if getattr(options, "cluster_backend", "device") == "exact":
         return False
-    return _default_platform_is_tpu()
+    import os
+    return (os.environ.get("SVIM_RESIDENT_INS_AUTO") == "1"
+            and _default_platform_is_tpu())
 
 
 def dispatch_ins_resident(samples, reference, options, batcher=None):

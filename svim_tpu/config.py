@@ -177,10 +177,12 @@ def _add_common_options(parser: argparse.ArgumentParser) -> None:
     execution.add_argument("--edit_backend", type=str, default=d.edit_backend,
                            choices=("auto", "wavefront", "python"),
                            help="Edit-distance backend for insertion clustering: "
-                                "'auto' runs the device-resident wavefront route on "
-                                "TPU hardware and the native host batch on CPU; "
-                                "'wavefront' forces the device route; 'python' forces "
-                                "pure Python (default: %(default)s).")
+                                "'auto' runs the native host batch (measured fastest "
+                                "on every shape; SVIM_RESIDENT_INS_AUTO=1 flips TPU "
+                                "runs to the device-resident wavefront route for "
+                                "attached silicon); 'wavefront' forces the device "
+                                "route; 'python' forces pure Python "
+                                "(default: %(default)s).")
     execution.add_argument("--cluster_backend", type=str, default=d.cluster_backend,
                            choices=("exact", "device"),
                            help="Clustering backend: 'device' (batched on-device "

@@ -130,9 +130,10 @@ def test_resident_ins_route_fallback_rate_bounded(options):
         TELEMETRY.as_dict()
 
 
-def test_auto_backend_resident_predicate():
-    """'auto' engages the resident route exactly on TPU platforms; explicit
-    settings override the platform."""
+def test_auto_backend_resident_predicate(monkeypatch):
+    """'auto' stays on the host ED batch (measured faster on every shape on
+    this hardware); the resident route engages via --edit_backend wavefront
+    anywhere, or via SVIM_RESIDENT_INS_AUTO=1 on TPU (attached silicon)."""
     from svim_tpu.cluster import device_cluster
     from svim_tpu.config import parse_arguments
 
@@ -140,6 +141,9 @@ def test_auto_backend_resident_predicate():
     saved = device_cluster._PLATFORM_IS_TPU
     try:
         device_cluster._PLATFORM_IS_TPU = True
+        monkeypatch.delenv("SVIM_RESIDENT_INS_AUTO", raising=False)
+        assert not device_cluster.ins_resident_enabled(options)
+        monkeypatch.setenv("SVIM_RESIDENT_INS_AUTO", "1")
         assert device_cluster.ins_resident_enabled(options)
         assert not device_cluster.ins_resident_enabled(
             options.replace(cluster_backend="exact"))
