@@ -29,7 +29,7 @@ N_READS = int(os.environ.get("SVIM_BENCH_READS", "8192"))
 # nonlinear in signature density, so subsampled baselines extrapolate wrong)
 BASELINE_SAMPLE = int(os.environ.get("SVIM_BENCH_BASELINE_READS", "0"))
 READ_LENGTH_OPS = 3000          # CIGAR ops per read (ONT-like noise)
-REPEATS = int(os.environ.get("SVIM_BENCH_REPEATS", "5"))
+REPEATS = int(os.environ.get("SVIM_BENCH_REPEATS", "9"))
 
 
 COVERAGE = 24          # reads supporting each simulated SV locus
@@ -195,9 +195,10 @@ def _reference_baseline_measurement(tmp_dir, bam_path, genome_path):
 
     best = float("inf")
     n_sigs = 0
-    # first pass warms scipy/.fai; best-of-3 because this box's multi-100ms
-    # stalls move single measurements ±30% (same policy as the array side)
-    for _ in range(3):
+    # first pass warms scipy/.fai; best-of-4 because this box's multi-100ms
+    # stalls move single measurements ±30% (same policy as the array side;
+    # round 4 saw identical binaries read 10.9x and 33.5x hours apart)
+    for _ in range(4):
         bam = pysam.AlignmentFile(bam_path)
         t0 = time.perf_counter()
         signatures, _trans = analyze_alignment_file_coordsorted(bam, options)
