@@ -284,6 +284,14 @@ def collect_soa_pipelined(bam_path: str, options):
         return header, packed, soa, twins
 
     batch_reads = max(1, int(getattr(options, "batch_reads", 4096)))
+    try:
+        if jax.devices()[0].platform == "tpu":
+            # every batch costs dispatch round trips over the (possibly
+            # tunneled) device link; bigger batches trade a little
+            # scan/dispatch overlap for far fewer RPCs
+            batch_reads = max(batch_reads, 16384)
+    except Exception:
+        pass
     header = None
     staged: List = []   # (StagedCollectSoA, global row start, real rows)
     try:
