@@ -344,10 +344,9 @@ def build_donor(genome, config: Sim2Config, rng):
                 return position
         raise RuntimeError("could not place SV")
 
-    host = contigs[0]
-    donor_hosts = contigs  # SVs land on every contig
     def pick_host():
-        return donor_hosts[rng.randrange(len(donor_hosts))]
+        # SVs land on every contig
+        return contigs[rng.randrange(len(contigs))]
 
     for _ in range(config.n_del):
         contig = pick_host()
