@@ -89,6 +89,20 @@ def main():
                         native.cigar_compact_rows(
                             bytes(data), columns["cigar_off"],
                             columns["n_cigar"], 40, bucket_size)
+                # incremental scan session (round 4): background inflate
+                # workers + walker publishing ranges while this thread
+                # claims and fills them in small batches
+                session = native.BamScanSession(compressed, 20, 40,
+                                                n_threads=3)
+                while True:
+                    row_start, n, max_ops, _body, done = session.next_rows(7)
+                    if n:
+                        session.fill(row_start, n,
+                                     bucket_size(max(1, max_ops)),
+                                     n_threads=2)
+                    if done:
+                        break
+                session.close()
         except Exception as error:  # pragma: no cover
             errors.append(error)
 
