@@ -43,7 +43,9 @@ def test_native_pools_tsan_clean():
     # libtsan must be loaded before CPython so the runtime can intercept
     # every thread the process creates, not just the library's own.
     env["LD_PRELOAD"] = libtsan
-    env["TSAN_OPTIONS"] = "halt_on_error=0 exitcode=66"
+    suppressions = os.path.join(REPO, "scripts", "tsan_suppressions.txt")
+    env["TSAN_OPTIONS"] = ("halt_on_error=0 exitcode=66 "
+                           "suppressions=" + suppressions)
     env.pop("JAX_PLATFORMS", None)  # stress script never imports jax
     result = subprocess.run(
         [sys.executable, STRESS], env=env, capture_output=True,
