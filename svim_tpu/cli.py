@@ -85,6 +85,8 @@ def _collect(options):
         if reads_type == "unknown":
             return None
         if reads_type == "list":
+            use_packed = options.device_backend != "host"
+            soa_parts = []
             sv_signatures = []
             translocation_signatures_all_bnds = []
             aln_file = None
@@ -96,10 +98,24 @@ def _collect(options):
                 bam_path = run_alignment(options.working_dir, options.genome, file_path,
                                          reads_type, options.cores, options.aligner,
                                          options.nanopore)
-                aln_file = AlignmentFile(bam_path)
-                sigs, trans_sigs = analyze_alignment_file_coordsorted(aln_file, options)
-                sv_signatures.extend(sigs)
+                if use_packed:
+                    # same array path as the single-file branch, per file;
+                    # genotyping uses the LAST file's alignments, matching
+                    # the reference's trailing aln_file (svim:73-82)
+                    from svim_tpu.collect.packed import collect_soa_from_bam
+                    from svim_tpu.io.packed_fetch import PackedAlignmentIndex
+                    header, packed, sigs, trans_sigs = collect_soa_from_bam(
+                        bam_path, options)
+                    aln_file = PackedAlignmentIndex(packed, header)
+                    soa_parts.append(sigs)
+                else:
+                    aln_file = AlignmentFile(bam_path)
+                    sigs, trans_sigs = analyze_alignment_file_coordsorted(aln_file, options)
+                    sv_signatures.extend(sigs)
                 translocation_signatures_all_bnds.extend(trans_sigs)
+            if use_packed and soa_parts:
+                from svim_tpu.sigtable import concat_soa
+                sv_signatures = concat_soa(soa_parts)
             return aln_file, sv_signatures, translocation_signatures_all_bnds
         bam_path = run_alignment(options.working_dir, options.genome, options.reads,
                                  reads_type, options.cores, options.aligner,

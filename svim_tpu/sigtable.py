@@ -442,3 +442,91 @@ def soa_from_signatures(signatures) -> SignatureSoA:
     return SignatureSoA(
         {sig_type: builder.finalize()
          for sig_type, builder in builders.items()}, contigs, reads)
+
+
+_CONCAT_EXTRA = {
+    "DEL": (),
+    "INS": ("seq_off", "seq_len"),
+    "INV": ("direction",),
+    "DUP_TAN": ("copies", "fully_covered"),
+    "DUP_INT": ("contig2_code", "pos2"),
+    "BND": ("contig2_code", "pos2", "dir1", "dir2"),
+}
+
+
+def concat_soa(soas) -> SignatureSoA:
+    """Concatenate SignatureSoA tables in serial input order.
+
+    Mirrors the reference's list-input semantics (svim:68-82:
+    sv_signatures.extend(...) per file, then split by type) — the per-type
+    row order is file order, within-file emission order.  String-pool codes
+    are remapped into merged pools; cached Signature objects keep their
+    rows."""
+    soas = [soa for soa in soas if soa is not None]
+    if not soas:
+        raise ValueError("concat_soa needs at least one table set")
+    if len(soas) == 1:
+        return soas[0]
+    contigs = StringPool()
+    reads = StringPool()
+    remaps = []
+    for soa in soas:
+        remaps.append((
+            np.asarray([contigs.code(name) for name in soa.contigs.names],
+                       dtype=np.int32)
+            if soa.contigs.names else np.zeros(0, dtype=np.int32),
+            np.asarray([reads.code(name) for name in soa.reads.names],
+                       dtype=np.int32)
+            if soa.reads.names else np.zeros(0, dtype=np.int32)))
+
+    tables = {}
+    for sig_type in SIG_TYPES:
+        parts = [(soa.tables.get(sig_type), cmap, rmap)
+                 for soa, (cmap, rmap) in zip(soas, remaps)
+                 if soa.tables.get(sig_type) is not None
+                 and soa.tables[sig_type].n > 0]
+        if not parts:
+            tables[sig_type] = TableBuilder(sig_type, contigs,
+                                            reads).finalize()
+            continue
+        merged = {
+            "contig_code": np.concatenate(
+                [cmap[t.contig_code] for t, cmap, _ in parts]),
+            "start": np.concatenate([t.start for t, _, _ in parts]),
+            "end": np.concatenate([t.end for t, _, _ in parts]),
+            "read_code": np.concatenate(
+                [rmap[t.read_code] for t, _, rmap in parts]),
+            "source_code": np.concatenate(
+                [t.source_code for t, _, _ in parts]),
+        }
+        kwargs = {}
+        extras = _CONCAT_EXTRA[sig_type]
+        for name in extras:
+            if name == "contig2_code":
+                kwargs[name] = np.concatenate(
+                    [cmap[t.contig2_code] for t, cmap, _ in parts])
+            elif name != "seq_off":
+                kwargs[name] = np.concatenate(
+                    [getattr(t, name) for t, _, _ in parts])
+        if sig_type == "INS":
+            blob_parts = []
+            off_parts = []
+            base = 0
+            for t, _, _ in parts:
+                blob_parts.append(t.seq_blob)
+                off_parts.append(t.seq_off + base)
+                base += len(t.seq_blob)
+            kwargs["seq_blob"] = b"".join(blob_parts)
+            kwargs["seq_off"] = np.concatenate(off_parts)
+        objects = {}
+        base = 0
+        for t, _, _ in parts:
+            for row, obj in t.objects.items():
+                objects[base + int(row)] = obj
+            base += t.n
+        tables[sig_type] = SignatureTable(
+            sig_type, len(merged["start"]), merged["contig_code"],
+            merged["start"], merged["end"], merged["read_code"],
+            merged["source_code"], contigs, reads, objects=objects,
+            **kwargs)
+    return SignatureSoA(tables, contigs, reads)

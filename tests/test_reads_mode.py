@@ -217,3 +217,13 @@ def test_reads_mode_file_list(stub_env):
     with open(os.path.join(wd, "variants.vcf")) as handle:
         records = [line for line in handle if not line.startswith("#")]
     assert len(records) == 1 and "SVTYPE=DEL" in records[0]
+
+    # the default (packed/array) list path must byte-match the host path
+    wd_host = str(tmp_path / "wd_list_host")
+    _run_cli(["reads", wd_host, str(list_path), genome_path,
+              "--device_backend", "host"])
+    with open(os.path.join(wd, "variants.vcf")) as handle:
+        packed_vcf = [line for line in handle if not line.startswith("##")]
+    with open(os.path.join(wd_host, "variants.vcf")) as handle:
+        host_vcf = [line for line in handle if not line.startswith("##")]
+    assert packed_vcf == host_vcf

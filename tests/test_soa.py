@@ -78,6 +78,42 @@ def test_soa_from_signatures_roundtrip(default_options, tmp_path):
             sig.as_string() for sig in got]
 
 
+def test_concat_soa_matches_object_extend(default_options, tmp_path):
+    """concat_soa == the reference's per-file sv_signatures.extend()
+    (svim:68-82): per-type order is file order, fields exact, pools
+    remapped."""
+    from svim_tpu.sigtable import concat_soa
+
+    parts = []
+    combined_objects = []
+    for seed in (7, 13, 21):
+        rng = random.Random(seed)
+        bam_path = tmp_path / "random{0}.bam".format(seed)
+        _sam_to_bam(_random_sam(rng, all_split=(seed == 13)), bam_path)
+        _h, _t, object_sigs, _tw = collect_signatures_from_bam(
+            str(bam_path), default_options)
+        combined_objects.extend(object_sigs)
+        parts.append(soa_from_signatures(object_sigs))
+
+    merged = concat_soa(parts)
+    assert merged.total() == len(combined_objects)
+    for sig_type in SIG_TYPES:
+        expected = [sig for sig in combined_objects if sig.type == sig_type]
+        table = merged.tables[sig_type]
+        assert table.n == len(expected)
+        got = table.materialize_list(range(table.n))
+        assert [sig.as_string() for sig in expected] == [
+            sig.as_string() for sig in got]
+        if sig_type == "INS":
+            assert [sig.sequence for sig in expected] == [
+                table.sequence(i) for i in range(table.n)]
+        for i, want in enumerate(expected):
+            assert table.contigs.names[int(table.contig_code[i])] == want.contig
+            assert table.reads.names[int(table.read_code[i])] == want.read
+    # single-part concat is the identity
+    assert concat_soa([parts[0]]) is parts[0]
+
+
 def test_lazy_members_sequence_protocol():
     from svim_tpu.signatures import SignatureDeletion
 
