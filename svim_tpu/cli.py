@@ -197,10 +197,15 @@ def _collect(options):
 def run_pipeline(options):
     """The four-stage pipeline; returns the exit code."""
     root_logger = logging.getLogger()
+    trace_requested = getattr(options, "profile_trace", False)
     timer = StageTimer(
-        enabled=options.profile,
+        enabled=options.profile or trace_requested,
         trace_dir=(os.path.join(options.working_dir, "traces")
-                   if options.profile else None))
+                   if trace_requested else None))
+    if trace_requested:
+        logging.warning("--profile_trace instruments host threads; traced "
+                        "host-bound stage wall times run ~3x their real "
+                        "duration. Use --profile alone for timings.")
 
     logging.info("****************** STEP 1: COLLECT ******************")
     with timer.stage("collect", trace=True):

@@ -88,7 +88,9 @@ class Config:
     num_shards: int = 1                # data-parallel read shards over the mesh
     batch_reads: int = 4096            # reads per packed device batch
     stream_input: bool = False         # force the bounded-memory streaming scanner
-    profile: bool = False              # emit jax.profiler traces per stage
+    profile: bool = False              # per-stage wall-clock timing (untraced)
+    profile_trace: bool = False        # additionally capture jax.profiler traces
+                                       # (inflates host-stage wall times ~3x)
     distributed: bool = False          # multi-process run (jax.distributed via
                                        # SVIM_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID)
 
@@ -200,7 +202,16 @@ def _add_common_options(parser: argparse.ArgumentParser) -> None:
                                 "memory (automatic for inputs over 256 MiB; "
                                 "default: %(default)s).")
     execution.add_argument("--profile", action="store_true",
-                           help="Emit per-stage timing and jax profiler traces (default: %(default)s).")
+                           help="Log accurate per-stage wall-clock timings "
+                                "(default: %(default)s).")
+    execution.add_argument("--profile_trace", action="store_true",
+                           help="Additionally capture jax profiler traces under "
+                                "<working_dir>/traces for device timeline "
+                                "inspection. The trace instrumentation inflates "
+                                "HOST-bound stage wall times roughly 3x, so the "
+                                "timings logged by a traced run are not "
+                                "representative - use --profile alone for "
+                                "timings (default: %(default)s).")
     execution.add_argument("--distributed", action="store_true",
                            help="Run as one process of a multi-host job: initialize "
                                 "jax.distributed from SVIM_COORDINATOR / "

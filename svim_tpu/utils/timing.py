@@ -1,8 +1,11 @@
 """Per-stage timing and optional jax profiler traces.
 
 New capability relative to the reference, which only logs coarse progress
-(SVIM_COLLECT.py:151).  When profiling is on, each stage also emits a
-jax.profiler trace under <working_dir>/traces for TPU timeline inspection.
+(SVIM_COLLECT.py:151).  Timing (--profile) is plain untraced wall clock and
+is accurate; the jax.profiler trace under <working_dir>/traces is opt-in
+via --profile_trace because its host-thread instrumentation inflates
+host-bound stage wall times ~3x (measured round 4) -- a traced run's logged
+timings are for timeline inspection, not for wall-clock decisions.
 """
 
 from __future__ import annotations
@@ -39,6 +42,10 @@ class StageTimer:
         if not self.enabled or not self.durations:
             return
         total = sum(self.durations.values())
+        if self.trace_dir:
+            logging.info("Stage timings below include jax trace overhead "
+                         "(host-bound stages inflate ~3x); rerun with "
+                         "--profile alone for accurate wall clock.")
         logging.info("Stage timings (total %.2fs):", total)
         for name, duration in self.durations.items():
             logging.info("  %-10s %8.2fs  (%.1f%%)", name, duration,

@@ -131,3 +131,30 @@ def test_full_pipeline_empty_input(tmp_path):
     assert main(["alignment", str(workdir), str(bam_path), str(genome_path)]) == 0
     assert _read_vcf_records(workdir) == []
     assert (workdir / "variants.vcf").read_text().startswith("##fileformat=VCF")
+
+
+def test_profile_untraced_and_trace_optin(synthetic_dataset, caplog):
+    """--profile logs accurate (untraced) stage timings and writes NO jax
+    trace; --profile_trace opts into the trace with an inflation warning
+    (round-4 finding: the trace ~3x-inflates host-bound stage wall time)."""
+    import logging as _logging
+
+    tmp_path, sam_path, genome_path, _genome, _ins_seq = synthetic_dataset
+    workdir = tmp_path / "wd_profile"
+    with caplog.at_level(_logging.INFO):
+        assert main(["alignment", str(workdir), sam_path, genome_path,
+                     "--profile", "--skip_genotyping"]) == 0
+    text = caplog.text
+    assert "Stage timings" in text
+    assert not (workdir / "traces").exists()
+    assert "inflate" not in text  # no trace, no inflation caveat
+
+    caplog.clear()
+    workdir2 = tmp_path / "wd_trace"
+    with caplog.at_level(_logging.INFO):
+        assert main(["alignment", str(workdir2), sam_path, genome_path,
+                     "--profile_trace", "--skip_genotyping"]) == 0
+    text = caplog.text
+    assert "host-bound stage wall times" in text  # upfront warning
+    assert "Stage timings" in text                # timer auto-enabled
+    assert (workdir2 / "traces").exists()         # trace actually captured
