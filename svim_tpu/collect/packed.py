@@ -271,9 +271,21 @@ def collect_soa_pipelined(bam_path: str, options):
 
     with open(bam_path, "rb") as handle:
         compressed = handle.read()
+    # Inflate worker count by platform (round-5 control, BENCH_NOTES.md
+    # "Round 5: inflate control"): the scan session scales to all 4 cores
+    # when the caller's device work runs OFF-box (TPU: dispatch is an RPC),
+    # but on the CPU backend XLA executes the staged kernels on these same
+    # cores mid-scan, where 2 inflate workers measured best.
+    scan_workers = 0   # native default: cores - 2
+    try:
+        if jax.devices()[0].platform != "cpu":
+            scan_workers = native._scan_workers(reserve=0)
+    except Exception:
+        pass
     try:
         session = native.BamScanSession(compressed, options.min_mapq,
-                                        options.min_sv_size)
+                                        options.min_sv_size,
+                                        n_threads=scan_workers)
     except ValueError:
         # not BGZF (e.g. plain-gzip BAM): the classic scanner handles it
         from svim_tpu.io.bamscan import scan_bam

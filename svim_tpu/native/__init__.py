@@ -570,6 +570,27 @@ def bgzf_decompress_parallel(data: bytes, n_threads: int = 0):
     return out
 
 
+def _scan_workers(reserve: int) -> int:
+    """Inflate worker count for the fused scan paths.
+
+    Overridable via SVIM_SCAN_WORKERS.  The round-4 'bandwidth-bound,
+    2 == 3 == 4 workers' reading did not reproduce: the round-5 control
+    (scripts/measure_inflate_bw.cpp + the real-BAM rerun in BENCH_NOTES.md
+    'Round 5: inflate control') measured pure inflate scaling near-linearly
+    to 6.8 GB/s at 4 threads against a 29 GB/s 4-thread memcpy ceiling, and
+    the fused inflate+walk at 0.047 s with 4 workers vs 0.064 s with 3 on
+    the same 307 MB stream — the r4 plateau was box degradation, not DRAM.
+    `reserve` keeps cores for the walker/caller when measurement shows that
+    wins; callers pass what their own A/B found."""
+    try:
+        forced = int(os.environ.get("SVIM_SCAN_WORKERS", "0"))
+    except ValueError:
+        forced = 0
+    if forced > 0:
+        return min(8, forced)
+    return max(1, min(8, (os.cpu_count() or 1) - reserve))
+
+
 _STREAM_POOL: list = []   # up to two retired inflate buffers (ping-pong)
 
 
@@ -609,9 +630,7 @@ def bam_scan_fused(compressed: bytes, min_mapq: int, min_sv_size: int = 0,
     if lib is None:
         return None
     if n_threads <= 0:
-        # the count walk occupies the calling thread; leave it a core
-        # (measured: 3 inflate workers beat 4 on this 4-core box)
-        n_threads = max(1, min(8, os.cpu_count() or 1) - 1)
+        n_threads = _scan_workers(reserve=1)
     total = lib.bgzf_uncompressed_size(compressed, len(compressed))
     if total <= 0:
         return None
@@ -783,10 +802,7 @@ class BamScanSession:
         if total <= 0:
             raise ValueError("not a BGZF BAM stream")
         if n_threads <= 0:
-            # 2 inflate workers saturate this path (measured: bandwidth-
-            # bound, 2 == 3 workers); the walker is its own thread, leaving
-            # a core for the caller's dispatch work
-            n_threads = max(1, min(8, (os.cpu_count() or 1) - 2))
+            n_threads = _scan_workers(reserve=2)
         self.data = _stream_buffer(total)
         self._view = (ctypes.c_char * total).from_buffer(self.data)
         self._compressed = compressed  # the workers read it; keep it alive
