@@ -306,6 +306,8 @@ def collect_soa_pipelined(bam_path: str, options):
         pass
     header = None
     staged: List = []   # (StagedCollectSoA, global row start, real rows)
+    state = SoAState()
+    consumed = 0        # staged entries already fetched + consumed mid-scan
     try:
         while True:
             row_start, n, max_ops, _body, done = session.next_rows(batch_reads)
@@ -341,17 +343,30 @@ def collect_soa_pipelined(bam_path: str, options):
                 stage = stage_signatures_soa(packed, sa_tags, header, options)
                 if stage is not None:
                     staged.append((stage, row_start, n))
+            # Opportunistic consumption: fetch + consume any stage that has
+            # had at least one full batch-time to compute, WHILE the session
+            # walker runs ahead in its background threads — the fetch's RPC
+            # round trip and the host-side consume ride inside the scan's
+            # wall time instead of serializing after it.  The newest stage
+            # is left computing so the fetch never waits on the device.
+            while len(staged) - consumed >= 2:
+                stage, stage_start, _sn = staged[consumed]
+                fetched = jax.device_get(stage.device_tree())
+                consume_signatures_soa(stage, fetched, header, options,
+                                       state, row_tag_offset=stage_start)
+                consumed += 1
             if done:
                 break
     except Exception:
         session.close()
         raise
 
-    state = SoAState()
-    if staged:
+    rest = staged[consumed:]
+    if rest:
+        # ONE deferred device_get for whatever the scan shadow didn't cover
         fetched_all = jax.device_get([stage.device_tree()
-                                      for stage, _, _ in staged])
-        for (stage, row_start, _n), fetched in zip(staged, fetched_all):
+                                      for stage, _, _ in rest])
+        for (stage, row_start, _n), fetched in zip(rest, fetched_all):
             consume_signatures_soa(stage, fetched, header, options, state,
                                    row_tag_offset=row_start)
     soa, twins = state.finalize()

@@ -33,31 +33,60 @@ GAP_EXT2 = -1
 # 10 kb x 10 kb haplotype pair is ~110 MB) than the Python fallback.
 MAX_DP_CELLS_NATIVE = 256_000_000
 MAX_DP_CELLS_PY = 16_000_000
+# DPs at or below this many cells run the full matrix; larger ones run a
+# banded corridor (band 64, doubled whenever the traceback grazes a corridor
+# boundary — the acceptance rule of the round-4 banded graph alignment).
+# Native (svimnative.cpp kGotohFullDpCells) and this Python oracle apply the
+# identical policy so the star-polish differential stays byte-equal.
+FULL_DP_CELLS_AUTO = 4_000_000
 
 NEG_INF = float("-inf")
 
 
-def align_global(a: str, b: str):
+def align_global(a: str, b: str, full_dp_cells: int = FULL_DP_CELLS_AUTO):
     """Global alignment of a vs b with two-piece affine gaps.
 
-    Returns (row_a, row_b): equal-length strings with '-' for gaps."""
+    Returns (row_a, row_b): equal-length strings with '-' for gaps.  Large
+    problems (> full_dp_cells) run banded-with-doubling; an accepted banded
+    alignment never grazed its corridor boundary."""
     if len(a) == 0:
         return "-" * len(b), b
     if len(b) == 0:
         return a, "-" * len(a)
-    cells = (len(a) + 1) * (len(b) + 1)
     try:
         from svim_tpu.native import aligner, get_library
         if get_library() is not None:
-            if cells > MAX_DP_CELLS_NATIVE:
-                raise MemoryError("alignment DP too large: {0}x{1}".format(len(a), len(b)))
-            return aligner.align_global(a, b)
+            return aligner.align_global(a, b, full_dp_cells=full_dp_cells)
     except MemoryError:
         raise
     except Exception:
         pass
-    if cells > MAX_DP_CELLS_PY:
-        raise MemoryError("alignment DP too large: {0}x{1}".format(len(a), len(b)))
+    return _align_global_py_auto(a, b, full_dp_cells)
+
+
+def _align_global_py_auto(a: str, b: str,
+                          full_dp_cells: int = FULL_DP_CELLS_AUTO):
+    """Python twin of the native gotoh_align_auto banding policy."""
+    la, lb = len(a), len(b)
+    full_cells = (la + 1) * (lb + 1)
+    if full_cells <= full_dp_cells:
+        if full_cells > MAX_DP_CELLS_PY:
+            raise MemoryError(
+                "alignment DP too large: {0}x{1}".format(la, lb))
+        return _align_global_py(a, b)
+    spread = abs(lb - la)
+    band = 64
+    while spread + 2 * band < lb:
+        cells = (la + 1) * (spread + 2 * band + 1)
+        if cells > MAX_DP_CELLS_PY:
+            raise MemoryError(
+                "alignment DP too large: {0}x{1}".format(la, lb))
+        result = _align_global_banded_py(a, b, band)
+        if result is not None:
+            return result
+        band *= 2
+    if full_cells > MAX_DP_CELLS_PY:
+        raise MemoryError("alignment DP too large: {0}x{1}".format(la, lb))
     return _align_global_py(a, b)
 
 
@@ -202,6 +231,164 @@ def _align_global_py(a: str, b: str):
             j -= 1
             if not extended:
                 state = traceback[i][j] & 3
+                piece = None
+    return "".join(reversed(row_a)), "".join(reversed(row_b))
+
+
+def _align_global_banded_py(a: str, b: str, band: int):
+    """Banded twin of _align_global_py (corridor between the start and end
+    diagonals plus `band` each side; out-of-corridor reads are -inf).
+
+    Returns (row_a, row_b), or None when the traceback grazed a corridor
+    boundary (caller doubles the band).  Mirrors the native
+    gotoh_align_banded cell-for-cell."""
+    la, lb = len(a), len(b)
+    delta = lb - la
+    lo_off = min(0, delta) - band
+    hi_off = max(0, delta) + band
+    lo = [max(0, i + lo_off) for i in range(la + 1)]
+    hi = [min(lb, i + hi_off) for i in range(la + 1)]
+    traceback = [bytearray(hi[i] - lo[i] + 1) for i in range(la + 1)]
+
+    width = lb + 1
+    best_prev = [NEG_INF] * width
+    best_prev[0] = 0.0
+    row_tb = traceback[0]
+    h1 = NEG_INF
+    h2 = NEG_INF
+    for j in range(1, hi[0] + 1):
+        open1 = best_prev[j - 1] + GAP_OPEN1
+        ext1 = h1 + GAP_EXT1
+        h1 = max(open1, ext1)
+        open2 = best_prev[j - 1] + GAP_OPEN2
+        ext2 = h2 + GAP_EXT2
+        h2 = max(open2, ext2)
+        flags = 2
+        if h2 > h1:
+            flags |= 0x20
+        if ext1 >= open1:
+            flags |= 0x40
+        if ext2 >= open2:
+            flags |= 0x80
+        row_tb[j] = flags
+        best_prev[j] = max(h1, h2)
+
+    v1_prev = [NEG_INF] * width
+    v2_prev = [NEG_INF] * width
+    for i in range(1, la + 1):
+        ca = a[i - 1]
+        jlo = lo[i]
+        jhi = hi[i]
+        row_tb = traceback[i]
+        best_cur = [NEG_INF] * width
+        v1 = [NEG_INF] * width
+        v2 = [NEG_INF] * width
+        left_best = NEG_INF
+        h1 = NEG_INF
+        h2 = NEG_INF
+        jstart = jlo
+        if jlo == 0:
+            open1 = best_prev[0] + GAP_OPEN1
+            ext1 = v1_prev[0] + GAP_EXT1
+            v1[0] = max(open1, ext1)
+            open2 = best_prev[0] + GAP_OPEN2
+            ext2 = v2_prev[0] + GAP_EXT2
+            v2[0] = max(open2, ext2)
+            flags = 1
+            if v2[0] > v1[0]:
+                flags |= 0x04
+            if ext1 >= open1:
+                flags |= 0x08
+            if ext2 >= open2:
+                flags |= 0x10
+            row_tb[0] = flags
+            best_cur[0] = max(v1[0], v2[0])
+            left_best = best_cur[0]
+            jstart = 1
+        for j in range(jstart, jhi + 1):
+            flags = 0
+            open1 = best_prev[j] + GAP_OPEN1
+            ext1 = v1_prev[j] + GAP_EXT1
+            v1[j] = max(open1, ext1)
+            if ext1 >= open1:
+                flags |= 0x08
+            open2 = best_prev[j] + GAP_OPEN2
+            ext2 = v2_prev[j] + GAP_EXT2
+            v2[j] = max(open2, ext2)
+            if ext2 >= open2:
+                flags |= 0x10
+            vbest = v1[j]
+            if v2[j] > vbest:
+                vbest = v2[j]
+                flags |= 0x04
+            open1 = left_best + GAP_OPEN1
+            ext1 = h1 + GAP_EXT1
+            h1 = max(open1, ext1)
+            if ext1 >= open1:
+                flags |= 0x40
+            open2 = left_best + GAP_OPEN2
+            ext2 = h2 + GAP_EXT2
+            h2 = max(open2, ext2)
+            if ext2 >= open2:
+                flags |= 0x80
+            hbest = h1
+            if h2 > hbest:
+                hbest = h2
+                flags |= 0x20
+            score = best_prev[j - 1] + (MATCH if ca == b[j - 1] else MISMATCH)
+            if vbest >= score and vbest >= hbest:
+                best = vbest
+                flags |= 1
+            elif hbest >= score:
+                best = hbest
+                flags |= 2
+            else:
+                best = score
+            best_cur[j] = best
+            left_best = best
+            row_tb[j - jlo] = flags
+        best_prev = best_cur
+        v1_prev = v1
+        v2_prev = v2
+
+    if best_prev[lb] == NEG_INF:
+        return None  # corridor disconnected the problem
+
+    row_a = []
+    row_b = []
+    i, j = la, lb
+    state = traceback[i][j - lo[i]] & 3
+    piece = None
+    while i > 0 or j > 0:
+        if (lo[i] > 0 and j <= lo[i]) or (hi[i] < lb and j >= hi[i]):
+            return None  # path grazed the corridor: widen and retry
+        flags = traceback[i][j - lo[i]]
+        if state == 0:
+            row_a.append(a[i - 1])
+            row_b.append(b[j - 1])
+            i -= 1
+            j -= 1
+            state = traceback[i][j - lo[i]] & 3
+            piece = None
+        elif state == 1:
+            if piece is None:
+                piece = 2 if (flags & 0x04) else 1
+            extended = bool(flags & (0x10 if piece == 2 else 0x08))
+            row_a.append(a[i - 1])
+            row_b.append("-")
+            i -= 1
+            if not extended:
+                state = traceback[i][j - lo[i]] & 3
+                piece = None
+        else:
+            if piece is None:
+                piece = 2 if (flags & 0x20) else 1
+            extended = bool(flags & (0x80 if piece == 2 else 0x40))
+            row_a.append("-")
+            row_b.append(b[j - 1])
+            j -= 1
+            if not extended:
+                state = traceback[i][j - lo[i]] & 3
                 piece = None
     return "".join(reversed(row_a)), "".join(reversed(row_b))
 

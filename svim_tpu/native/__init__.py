@@ -74,6 +74,12 @@ def get_library():
             ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
             ctypes.c_float, ctypes.c_float,
             ctypes.c_char_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64)]
+        lib.gotoh_align_auto.restype = ctypes.c_int
+        lib.gotoh_align_auto.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64)]
         lib.myers_distance.restype = ctypes.c_int64
         lib.myers_distance.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64]
@@ -191,21 +197,34 @@ class aligner:
     GAP_OPEN2 = -24.0
     GAP_EXT2 = -1.0
 
+    # keep in lockstep with combine/consensus.py FULL_DP_CELLS_AUTO /
+    # MAX_DP_CELLS_NATIVE and svimnative.cpp kGotoh*Cells
+    FULL_DP_CELLS_AUTO = 4_000_000
+    MAX_CELLS = 256_000_000
+
     @staticmethod
-    def align_global(a: str, b: str):
+    def align_global(a: str, b: str, full_dp_cells: int = None):
+        """Two-piece-affine global alignment; DPs over `full_dp_cells` run
+        the banded corridor with band doubling (gotoh_align_auto)."""
         lib = get_library()
         if lib is None:
             raise RuntimeError("native library unavailable")
+        if full_dp_cells is None:
+            full_dp_cells = aligner.FULL_DP_CELLS_AUTO
         la, lb = len(a), len(b)
         out_a = ctypes.create_string_buffer(la + lb + 1)
         out_b = ctypes.create_string_buffer(la + lb + 1)
         out_len = ctypes.c_int64(0)
-        status = lib.gotoh_align(
+        status = lib.gotoh_align_auto(
             a.encode(), la, b.encode(), lb,
             aligner.MATCH, aligner.MISMATCH,
             aligner.GAP_OPEN1, aligner.GAP_EXT1,
             aligner.GAP_OPEN2, aligner.GAP_EXT2,
+            full_dp_cells, aligner.MAX_CELLS,
             out_a, out_b, ctypes.byref(out_len))
+        if status == -1:
+            raise MemoryError(
+                "alignment DP too large: {0}x{1}".format(la, lb))
         if status != 0:
             raise RuntimeError("gotoh_align failed")
         n = out_len.value

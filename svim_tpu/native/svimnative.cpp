@@ -952,6 +952,12 @@ int cigar_compact_fill(const uint8_t* data, const int64_t* cigar_off,
 
 static const float kNegInf = -1e30f;
 
+// Shared auto-banding policy (kept in lockstep with combine/consensus.py's
+// FULL_DP_CELLS_AUTO / MAX_DP_CELLS_NATIVE so native and Python-oracle
+// alignments follow the same full-vs-banded decision).
+static const int64_t kGotohFullDpCells = 4'000'000;
+static const int64_t kGotohMaxCells = 256'000'000;
+
 // Traceback flags per cell (same layout as the Python fallback):
 // bits 0-1 best state (0 M, 1 V, 2 H); bit2 V piece2 won; bit3/4 V piece1/2
 // extended; bit5 H piece2 won; bit6/7 H piece1/2 extended.
@@ -1094,6 +1100,221 @@ int gotoh_align(const char* a, int64_t la, const char* b, int64_t lb,
   }
   *out_len = out_pos;
   return 0;
+}
+
+// Banded two-piece-affine global alignment (same recurrence, scores, flag
+// layout, and tie-breaking as gotoh_align, restricted to a diagonal
+// corridor).  The corridor covers every diagonal between the start (0,0)
+// and end (la,lb) diagonals plus `band` on each side, so the end corner is
+// always reachable and a pure-gap length difference costs no band width.
+// Out-of-corridor cells read as -inf.  `touched` is set when the traceback
+// path uses a corridor-boundary cell (boundary against the matrix interior,
+// not the matrix edge) — the caller then doubles the band and retries, so
+// an accepted alignment never grazed the corridor (the same acceptance rule
+// as poa.cpp's banded graph alignment, round-4 default, oracle-gated).
+int gotoh_align_banded(const char* a, int64_t la, const char* b, int64_t lb,
+                       float match, float mismatch,
+                       float gap_open1, float gap_ext1,
+                       float gap_open2, float gap_ext2,
+                       int64_t band,
+                       char* out_a, char* out_b, int64_t* out_len,
+                       int* touched) {
+  *touched = 0;
+  const int64_t delta = lb - la;
+  const int64_t lo_off = std::min<int64_t>(0, delta) - band;
+  const int64_t hi_off = std::max<int64_t>(0, delta) + band;
+  const int64_t wmax = hi_off - lo_off + 1;
+  std::vector<int64_t> lo(la + 1), hi(la + 1);
+  for (int64_t i = 0; i <= la; ++i) {
+    lo[i] = std::max<int64_t>(0, i + lo_off);
+    hi[i] = std::min<int64_t>(lb, i + hi_off);
+  }
+  std::vector<uint8_t> tb((size_t)(la + 1) * wmax);
+  // full-width score rows (absolute j); positions outside a row's corridor
+  // are never read fresh (see the per-read notes below), stale slots only
+  // ever hold -inf from initialization because lo/hi are monotone
+  std::vector<float> best_prev(lb + 1, kNegInf), best_cur(lb + 1, kNegInf);
+  std::vector<float> v1_prev(lb + 1, kNegInf), v2_prev(lb + 1, kNegInf);
+  std::vector<float> v1(lb + 1, kNegInf), v2(lb + 1, kNegInf);
+
+  // row 0: horizontal gaps only, up to hi[0] (lo[0] == 0 by construction)
+  best_prev[0] = 0.0f;
+  {
+    float h1 = kNegInf, h2 = kNegInf;
+    for (int64_t j = 1; j <= hi[0]; ++j) {
+      float open1 = best_prev[j - 1] + gap_open1;
+      float ext1 = h1 + gap_ext1;
+      h1 = std::max(open1, ext1);
+      float open2 = best_prev[j - 1] + gap_open2;
+      float ext2 = h2 + gap_ext2;
+      h2 = std::max(open2, ext2);
+      uint8_t flags = 2;
+      if (h2 > h1) flags |= 0x20;
+      if (ext1 >= open1) flags |= 0x40;
+      if (ext2 >= open2) flags |= 0x80;
+      tb[j] = flags;
+      best_prev[j] = std::max(h1, h2);
+    }
+  }
+
+  for (int64_t i = 1; i <= la; ++i) {
+    const char ca = a[i - 1];
+    uint8_t* tb_row = tb.data() + (size_t)i * wmax;
+    const int64_t jlo = lo[i], jhi = hi[i];
+    // vertical/diag reads at j == hi[i] when hi[i] > hi[i-1] hit slots no
+    // earlier row wrote (hi is nondecreasing), i.e. -inf — correct.
+    float left_best = kNegInf;  // best_cur[j-1]; -inf when out of corridor
+    float h1 = kNegInf, h2 = kNegInf;
+    int64_t jstart = jlo;
+    if (jlo == 0) {
+      // column 0: vertical-only cell, identical to the full DP
+      float open1 = best_prev[0] + gap_open1;
+      float ext1 = v1_prev[0] + gap_ext1;
+      v1[0] = std::max(open1, ext1);
+      float open2 = best_prev[0] + gap_open2;
+      float ext2 = v2_prev[0] + gap_ext2;
+      v2[0] = std::max(open2, ext2);
+      uint8_t flags = 1;
+      if (v2[0] > v1[0]) flags |= 0x04;
+      if (ext1 >= open1) flags |= 0x08;
+      if (ext2 >= open2) flags |= 0x10;
+      tb_row[0] = flags;
+      best_cur[0] = std::max(v1[0], v2[0]);
+      left_best = best_cur[0];
+      jstart = 1;
+    }
+    for (int64_t j = jstart; j <= jhi; ++j) {
+      uint8_t flags = 0;
+      float open1 = best_prev[j] + gap_open1;
+      float ext1 = v1_prev[j] + gap_ext1;
+      v1[j] = std::max(open1, ext1);
+      if (ext1 >= open1) flags |= 0x08;
+      float open2 = best_prev[j] + gap_open2;
+      float ext2 = v2_prev[j] + gap_ext2;
+      v2[j] = std::max(open2, ext2);
+      if (ext2 >= open2) flags |= 0x10;
+      float vbest = v1[j];
+      if (v2[j] > vbest) {
+        vbest = v2[j];
+        flags |= 0x04;
+      }
+      float hopen1 = left_best + gap_open1;
+      float hext1 = h1 + gap_ext1;
+      h1 = std::max(hopen1, hext1);
+      if (hext1 >= hopen1) flags |= 0x40;
+      float hopen2 = left_best + gap_open2;
+      float hext2 = h2 + gap_ext2;
+      h2 = std::max(hopen2, hext2);
+      if (hext2 >= hopen2) flags |= 0x80;
+      float hbest = std::max(h1, h2);
+      if (h2 > h1) flags |= 0x20;
+      float score = best_prev[j - 1] + (ca == b[j - 1] ? match : mismatch);
+      float best;
+      if (vbest >= score && vbest >= hbest) {
+        best = vbest;
+        flags |= 1;
+      } else if (hbest >= score) {
+        best = hbest;
+        flags |= 2;
+      } else {
+        best = score;
+      }
+      best_cur[j] = best;
+      left_best = best;
+      tb_row[j - jlo] = flags;
+    }
+    best_prev.swap(best_cur);
+    v1_prev.swap(v1);
+    v2_prev.swap(v2);
+  }
+
+  if (best_prev[lb] <= kNegInf / 2) {
+    // corridor disconnected the problem: force a retry at a wider band
+    *touched = 1;
+    *out_len = 0;
+    return 0;
+  }
+
+  // traceback (gap-state persistence honored), corridor-indexed
+  int64_t i = la, j = lb;
+  int state = tb[(size_t)i * wmax + (j - lo[i])] & 3;
+  int piece = 0;
+  int64_t out_pos = 0;
+  while (i > 0 || j > 0) {
+    if ((lo[i] > 0 && j <= lo[i]) || (hi[i] < lb && j >= hi[i])) *touched = 1;
+    uint8_t flags = tb[(size_t)i * wmax + (j - lo[i])];
+    if (state == 0) {
+      out_a[out_pos] = a[i - 1];
+      out_b[out_pos] = b[j - 1];
+      out_pos++;
+      i--;
+      j--;
+      state = tb[(size_t)i * wmax + (j - lo[i])] & 3;
+      piece = 0;
+    } else if (state == 1) {
+      if (piece == 0) piece = (flags & 0x04) ? 2 : 1;
+      bool extended = flags & (piece == 2 ? 0x10 : 0x08);
+      out_a[out_pos] = a[i - 1];
+      out_b[out_pos] = '-';
+      out_pos++;
+      i--;
+      if (!extended) {
+        state = tb[(size_t)i * wmax + (j - lo[i])] & 3;
+        piece = 0;
+      }
+    } else {
+      if (piece == 0) piece = (flags & 0x20) ? 2 : 1;
+      bool extended = flags & (piece == 2 ? 0x80 : 0x40);
+      out_a[out_pos] = '-';
+      out_b[out_pos] = b[j - 1];
+      out_pos++;
+      j--;
+      if (!extended) {
+        state = tb[(size_t)i * wmax + (j - lo[i])] & 3;
+        piece = 0;
+      }
+    }
+  }
+  for (int64_t l = 0, r2 = out_pos - 1; l < r2; ++l, --r2) {
+    std::swap(out_a[l], out_a[r2]);
+    std::swap(out_b[l], out_b[r2]);
+  }
+  *out_len = out_pos;
+  return 0;
+}
+
+// Small full DPs run gotoh_align unbanded; larger ones run the banded
+// corridor with band doubling whenever the optimal path grazes a corridor
+// boundary (exactness acceptance rule above).  When doubling widens the
+// corridor to the whole matrix, the full DP runs — so the result is always
+// either untouched-banded or exact-full.  Returns 0 on success, -1 when the
+// needed DP exceeds max_cells.
+int gotoh_align_auto(const char* a, int64_t la, const char* b, int64_t lb,
+                     float match, float mismatch,
+                     float gap_open1, float gap_ext1,
+                     float gap_open2, float gap_ext2,
+                     int64_t full_dp_cells, int64_t max_cells,
+                     char* out_a, char* out_b, int64_t* out_len) {
+  const int64_t full_cells = (la + 1) * (lb + 1);
+  if (la == 0 || lb == 0 || full_cells <= full_dp_cells) {
+    if (full_cells > max_cells) return -1;
+    return gotoh_align(a, la, b, lb, match, mismatch, gap_open1, gap_ext1,
+                       gap_open2, gap_ext2, out_a, out_b, out_len);
+  }
+  const int64_t spread = lb > la ? lb - la : la - lb;
+  for (int64_t band = 64; spread + 2 * band < lb; band *= 2) {
+    const int64_t cells = (la + 1) * (spread + 2 * band + 1);
+    if (cells > max_cells) return -1;
+    int touched = 0;
+    int rc = gotoh_align_banded(a, la, b, lb, match, mismatch, gap_open1,
+                                gap_ext1, gap_open2, gap_ext2, band, out_a,
+                                out_b, out_len, &touched);
+    if (rc != 0) return rc;
+    if (!touched) return 0;
+  }
+  if (full_cells > max_cells) return -1;
+  return gotoh_align(a, la, b, lb, match, mismatch, gap_open1, gap_ext1,
+                     gap_open2, gap_ext2, out_a, out_b, out_len);
 }
 
 int64_t myers_distance(const uint8_t* pattern, int64_t m,
@@ -1464,10 +1685,15 @@ int star_polish(const char* blob, const int64_t* lens, int n_seq,
       row_a.resize(center_len + len + 1);
       row_b.resize(center_len + len + 1);
       int64_t n = 0;
-      if (gotoh_align(center, center_len, blob + offsets[s], len,
-                      match, mismatch, gap_open1, gap_ext1,
-                      gap_open2, gap_ext2,
-                      row_a.data(), row_b.data(), &n) != 0) {
+      // banded-with-doubling for the big polish DPs (the former full
+      // center x member Gotoh dominated COMBINE at scale); the Python
+      // oracle (_polish_round -> align_global) applies the identical
+      // policy, so the differential stays byte-equal
+      if (gotoh_align_auto(center, center_len, blob + offsets[s], len,
+                           match, mismatch, gap_open1, gap_ext1,
+                           gap_open2, gap_ext2,
+                           kGotohFullDpCells, kGotohMaxCells,
+                           row_a.data(), row_b.data(), &n) != 0) {
         align_error.store(1);
         break;
       }

@@ -436,6 +436,45 @@ def evaluate_vcf(vcf_path: str, truth: List[TruthVariant],
     return results
 
 
+def truth_collisions(truth: List[TruthVariant], margin: int = 1000):
+    """Pairs of truth placements close enough that the reference's merge
+    semantics may legitimately absorb one call into the other.
+
+    sim.py places loci independently (no site reservation, unlike sim2), so
+    by birthday statistics a dense truth set collides occasionally: e.g. an
+    INS within ~partition distance of a DUP:INT destination is merged into
+    the DUP_INT candidate and its INS call removed by the INS-removal sweep
+    (SVIM_COMBINE.py:404-457, SVIM_merging.py:93-158) — a correct call, a
+    'missed' truth row.  The accuracy harness bounds observed false
+    negatives by this count so the stress number stays interpretable
+    (round-4 344/345 root cause).
+
+    Returns a list of (truth_index_a, truth_index_b) pairs, each counted
+    once, for non-BND truths whose affected intervals (DUP:INT uses its
+    DESTINATION locus) lie within `margin` bp on the same contig."""
+    intervals = []
+    for index, variant in enumerate(truth):
+        if variant.svtype == "BND":
+            continue
+        if variant.svtype == "DUP:INT":
+            intervals.append((index, variant.dest_contig, variant.dest_pos,
+                              variant.dest_pos + variant.length))
+        else:
+            intervals.append((index, variant.contig, variant.start,
+                              variant.start + variant.length))
+    collisions = []
+    for a in range(len(intervals)):
+        index_a, contig_a, lo_a, hi_a = intervals[a]
+        for b in range(a + 1, len(intervals)):
+            index_b, contig_b, lo_b, hi_b = intervals[b]
+            if contig_a != contig_b:
+                continue
+            gap = max(lo_a, lo_b) - min(hi_a, hi_b)
+            if gap <= margin:
+                collisions.append((index_a, index_b))
+    return collisions
+
+
 def f1(tp, fp, fn):
     if tp == 0:
         return 0.0

@@ -6,7 +6,13 @@ import os
 import pytest
 
 from svim_tpu.cli import main
-from svim_tpu.sim import SimConfig, evaluate_vcf, f1, simulate
+from svim_tpu.sim import (
+    SimConfig,
+    evaluate_vcf,
+    f1,
+    simulate,
+    truth_collisions,
+)
 
 
 def test_stress_harness_f1(tmp_path):
@@ -25,6 +31,12 @@ def test_stress_harness_f1(tmp_path):
     results = evaluate_vcf(str(workdir / "variants.vcf"), truth)
     for svtype, (tp, fp, fn) in results.items():
         assert f1(tp, fp, fn) >= 0.9, (svtype, tp, fp, fn)
+    # every miss must be accountable to a truth-set collision (independent
+    # placements can land close enough for reference merge semantics to
+    # absorb one call into another; round-4 344/345 root cause)
+    _tp, _fp, fn_all = results["ALL"]
+    collisions = truth_collisions(truth)
+    assert fn_all <= len(collisions), (fn_all, collisions)
     flagged = sum(1 for entry in open(workdir / "variants.vcf")
                   if "CUTPASTE" in entry)
     assert flagged >= config.n_dup_int_cutpaste

@@ -165,3 +165,83 @@ def test_native_star_polish_matches_python_oracle():
         native_result = native.star_polish_native(sequences, center)
         oracle = _star_consensus(sequences, center=center)
         assert native_result == oracle, (trial, center, sequences)
+
+
+def _mutate(rng, base, n_ops, indel_max=8):
+    chars = list(base)
+    for _ in range(n_ops):
+        op = rng.choice("sid")
+        pos = rng.randrange(max(1, len(chars)))
+        if op == "s" and chars:
+            chars[pos] = rng.choice("ACGT")
+        elif op == "i":
+            for _ in range(rng.randint(1, indel_max)):
+                chars.insert(pos, rng.choice("ACGT"))
+        elif chars:
+            del chars[pos:pos + rng.randint(1, indel_max)]
+    return "".join(chars)
+
+
+def test_banded_gotoh_matches_full_dp():
+    """The banded-with-doubling aligner (forced via full_dp_cells=0) must
+    reproduce the full DP exactly on realistic noisy pairs — in the native
+    kernel AND the Python twin — and native must equal Python."""
+    from svim_tpu import native
+    from svim_tpu.combine.consensus import (
+        _align_global_py,
+        _align_global_py_auto,
+    )
+
+    rng = random.Random(417)
+    for trial in range(30):
+        base = "".join(rng.choice("ACGT") for _ in range(rng.randint(80, 900)))
+        other = _mutate(rng, base, rng.randint(0, 20))
+        full = _align_global_py(base, other)
+        banded_py = _align_global_py_auto(base, other, full_dp_cells=0)
+        assert banded_py == full, (trial, base, other)
+        if native.get_library() is not None:
+            banded_native = native.aligner.align_global(base, other,
+                                                        full_dp_cells=0)
+            assert banded_native == full, (trial, base, other)
+
+
+def test_banded_gotoh_band_doubling_on_distant_pair():
+    """Pairs whose optimal path leaves the starting corridor (a large
+    internal rearrangement) must be retried at wider bands and still end
+    exactly equal to the full DP."""
+    from svim_tpu import native
+    from svim_tpu.combine.consensus import (
+        _align_global_py,
+        _align_global_py_auto,
+    )
+
+    rng = random.Random(31)
+    left = "".join(rng.choice("ACGT") for _ in range(400))
+    mid = "".join(rng.choice("ACGT") for _ in range(300))
+    right = "".join(rng.choice("ACGT") for _ in range(400))
+    a = left + mid + right
+    b = left + mid[::-1] + right   # reversed middle: path wanders off-diag
+    full = _align_global_py(a, b)
+    assert _align_global_py_auto(a, b, full_dp_cells=0) == full
+    if native.get_library() is not None:
+        assert native.aligner.align_global(a, b, full_dp_cells=0) == full
+
+
+def test_banded_gotoh_length_skew_pair():
+    """A long one-sided gap (consensus-vs-reference realignment shape: the
+    insertion appears as a giant gap run) stays exact — the corridor covers
+    the length difference by construction."""
+    from svim_tpu import native
+    from svim_tpu.combine.consensus import (
+        _align_global_py,
+        _align_global_py_auto,
+    )
+
+    rng = random.Random(77)
+    window = "".join(rng.choice("ACGT") for _ in range(240))
+    insertion = "".join(rng.choice("ACGT") for _ in range(1500))
+    a = window[:120] + insertion + window[120:]
+    full = _align_global_py(a, window)
+    assert _align_global_py_auto(a, window, full_dp_cells=0) == full
+    if native.get_library() is not None:
+        assert native.aligner.align_global(a, window, full_dp_cells=0) == full

@@ -162,3 +162,77 @@ def test_differential_fuzz_broad():
     assert equal == tie_free, failures[:2]
     # tied instances may legally diverge; keep the rate visible and bounded
     assert tied_divergent <= 250 - tie_free
+
+
+def _tie_class_instances():
+    """Three deliberately tie-dense adversarial families (VERDICT r4 #5):
+    homopolymer expansions, exact 50/50 columns, palindromic inserts.
+    Deterministic, so the per-class breakdown below is pinned exactly."""
+    rng = random.Random(424242)
+    families = {"homopolymer": [], "fifty_fifty": [], "palindrome": []}
+    for _ in range(15):
+        run = rng.randint(8, 24)
+        flank = "".join(rng.choice("ACGT") for _ in range(8))
+        members = [flank + "A" * (run + rng.choice((-1, 0, 0, 1))) + flank
+                   for _ in range(5)]
+        families["homopolymer"].append(members)
+    for _ in range(15):
+        length = rng.randint(12, 40)
+        members = []
+        for member in range(4):
+            seq = [("C" if member < 2 else "G") if pos % 3 == 0 else "T"
+                   for pos in range(length)]
+            members.append("".join(seq))   # exact 2-2 split on every 3rd col
+        families["fifty_fifty"].append(members)
+    for _ in range(15):
+        half = "".join(rng.choice("ACGT") for _ in range(rng.randint(5, 14)))
+        palindrome = half + half[::-1]     # aligns equally well both ways
+        flank = "".join(rng.choice("ACGT") for _ in range(10))
+        members = []
+        for member in range(4):
+            insert = palindrome if member % 2 == 0 else palindrome[::-1]
+            members.append(flank + insert + flank)
+        families["palindrome"].append(members)
+    return families
+
+
+def test_tie_class_breakdown_pinned():
+    """Pinned per-class differential breakdown on tie-dense inputs: any
+    native-vs-oracle divergence must be (a) on an instance the oracle
+    flagged as tied — the documented divergence class — and (b) within the
+    length/composition envelope.  The counts are pinned exactly so a future
+    change to either side surfaces as a diff here, not as silent drift."""
+    breakdown = {}
+    for family, clusters in _tie_class_instances().items():
+        tied = divergent = 0
+        for cluster in clusters:
+            oracle = spoa_consensus_oracle(cluster)
+            native = poa_consensus_native(cluster)
+            assert native is not None
+            if oracle.ties:
+                tied += 1
+            if native != oracle.consensus:
+                divergent += 1
+                # documented divergence class ONLY: tie-flagged instances
+                assert oracle.ties, (
+                    "tie-free divergence in {0}: {1!r}".format(family, cluster))
+                shortest = min(len(s) for s in cluster)
+                longest = max(len(s) for s in cluster)
+                assert shortest - 2 <= len(native) <= longest + 2
+                assert set(native) <= set("".join(cluster))
+        breakdown[family] = (len(clusters), tied, divergent)
+    print("tie-class breakdown:", breakdown)
+    assert breakdown == PINNED_TIE_BREAKDOWN, breakdown
+
+
+# (total instances, oracle-tied instances, native-vs-oracle divergent) —
+# measured 2026-08-20.  Every class stayed inside the documented contract:
+# the single divergence (a homopolymer-expansion instance) was tie-flagged
+# by the oracle; the 50/50 columns all tie but both sides break them the
+# same way; the palindromic inserts turn out to align uniquely (no ties)
+# and agree exactly.
+PINNED_TIE_BREAKDOWN = {
+    "homopolymer": (15, 15, 1),
+    "fifty_fifty": (15, 15, 0),
+    "palindrome": (15, 0, 0),
+}
