@@ -16,6 +16,15 @@ processes share the same 4 cores, so host-bound stages (BGZF inflate, the
 INS edit-distance pool) contend — a real 2-host deployment gives each rank
 its own cores and DCN; the number printed here is therefore a LOWER bound
 on true 2-host efficiency for the parallelized stages.
+
+SVIM_SCALE_PINNED=1 runs the CORE-PINNED experiment instead (VERDICT r4
+next-step #2): the single-rank control is pinned to cores 0-1 and each of
+the two ranks to a DISJOINT 2-core set (rank0 -> 0-1, rank1 -> 2-3), so
+every process sees the same per-rank core budget — a like-for-like stand-in
+for two separate 2-core hosts.  Worker pools size themselves from the
+affinity set (svim_tpu/utils/cores.py), so a pinned rank really runs
+2-core-wide.  Efficiency stays T1 / (2 * T2): with twice the total cores,
+ideal strong scaling halves the wall.
 """
 
 import json
@@ -31,6 +40,15 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO_ROOT)
 
 N_READS = int(os.environ.get("SVIM_SCALE_READS", "8192"))
+PINNED = os.environ.get("SVIM_SCALE_PINNED") == "1"
+# disjoint 2-core sets; override for boxes with a different topology
+SINGLE_CORES = os.environ.get("SVIM_SCALE_SINGLE_CORES", "0,1")
+RANK_CORES = os.environ.get("SVIM_SCALE_RANK_CORES", "0,1;2,3").split(";")
+
+
+def _pin(cores):
+    """taskset prefix pinning a subprocess to `cores` (pinned mode only)."""
+    return ["taskset", "-c", cores] if PINNED else []
 
 
 def _free_port():
@@ -94,15 +112,20 @@ def main():
     common = ["--device_backend", "cpu", "--profile", "--skip_genotyping"]
 
     # warm pass populates the persistent jit cache so neither timed run
-    # pays cold compiles (and the 2-proc ranks stay inside Gloo's timeout)
-    subprocess.run([sys.executable, "-m", "svim_tpu", "alignment",
-                    os.path.join(tmp_dir, "wd_warm"), bam, genome] + common,
+    # pays cold compiles (and the 2-proc ranks stay inside Gloo's timeout).
+    # Pinned mode warms under the SINGLE-rank affinity: worker pools are
+    # sized at call time from each process's own affinity, so the warm run
+    # only needs to populate the jit cache, which is affinity-independent.
+    subprocess.run(_pin(SINGLE_CORES)
+                   + [sys.executable, "-m", "svim_tpu", "alignment",
+                      os.path.join(tmp_dir, "wd_warm"), bam, genome] + common,
                    env=base_env, capture_output=True, timeout=1800)
 
     t0 = time.perf_counter()
     single = subprocess.run(
-        [sys.executable, "-m", "svim_tpu", "alignment",
-         os.path.join(tmp_dir, "wd_single"), bam, genome] + common,
+        _pin(SINGLE_CORES)
+        + [sys.executable, "-m", "svim_tpu", "alignment",
+           os.path.join(tmp_dir, "wd_single"), bam, genome] + common,
         env=base_env, capture_output=True, text=True, timeout=1800)
     single_s = time.perf_counter() - t0
     assert single.returncode == 0, single.stdout + single.stderr
@@ -117,9 +140,10 @@ def main():
                     "SVIM_NUM_PROCESSES": "2",
                     "SVIM_PROCESS_ID": str(rank)})
         ranks.append(subprocess.Popen(
-            [sys.executable, "-m", "svim_tpu", "alignment",
-             os.path.join(tmp_dir, "wd_multi"), bam, genome,
-             "--distributed"] + common,
+            _pin(RANK_CORES[rank % len(RANK_CORES)])
+            + [sys.executable, "-m", "svim_tpu", "alignment",
+               os.path.join(tmp_dir, "wd_multi"), bam, genome,
+               "--distributed"] + common,
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True))
     outputs = [proc.communicate(timeout=1800)[0] for proc in ranks]
@@ -147,8 +171,13 @@ def main():
         "payload_soa_bytes": soa_bytes,
         "payload_pickle_bytes_round3_design": pickle_bytes,
         "n_reads": N_READS,
-        "caveat": "both ranks share this box's 4 cores: host-bound stages "
-                  "contend, so this lower-bounds true 2-host efficiency",
+        "pinned": PINNED,
+        "caveat": ("single rank pinned to cores {0}; ranks pinned to "
+                   "disjoint sets {1} — like-for-like per-rank core budget "
+                   "standing in for two 2-core hosts".format(
+                       SINGLE_CORES, ";".join(RANK_CORES)) if PINNED else
+                   "both ranks share this box's 4 cores: host-bound stages "
+                   "contend, so this lower-bounds true 2-host efficiency"),
     }
     print(json.dumps(result))
 

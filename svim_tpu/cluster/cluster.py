@@ -81,7 +81,7 @@ class _ClusterWork:
     (device kernels in flight across types)."""
 
     __slots__ = ("partitions", "samples", "large_partitions", "ed_cache",
-                 "pending", "eligible")
+                 "pending", "eligible", "memo_hits")
 
     def __init__(self):
         self.partitions = []
@@ -90,17 +90,34 @@ class _ClusterWork:
         self.ed_cache = None
         self.pending = None
         self.eligible = []
+        self.memo_hits = {}   # partition index -> stored cluster index arrays
 
 
 def dispatch_clusters_from_partitions(partitions, reference, options,
-                                      batcher=None):
+                                      batcher=None, memo=None):
     """Phase 1: subsample, precompute INS edit distances, and REGISTER the
     batched device agglomerations (on `batcher` when given — the driver then
     dispatches one kernel per pad bucket for ALL types and fetches every
     result in one round trip; a private batcher dispatches immediately at
-    consume time otherwise)."""
+    consume time otherwise).
+
+    `memo` optionally carries mid-scan incremental results keyed by exact
+    partition content (cluster/incremental.py); hit partitions skip every
+    phase here and reuse their stored clusters in the finish half."""
     work = _ClusterWork()
     work.partitions = partitions
+    if memo:
+        for index, partition in enumerate(partitions):
+            if not 2 <= len(partition) <= MAX_PARTITION_SIZE:
+                # >MAX partitions subsample through the shared RNG stream and
+                # are never memoized; singletons are cheaper than the lookup
+                continue
+            indices = getattr(partition, "indices", None)
+            if indices is None:
+                continue
+            stored = memo.get((_partition_type(partition), indices.tobytes()))
+            if stored is not None:
+                work.memo_hits[index] = stored
     seed(RANDOM_SEED)
     # subsample oversized partitions upfront (same RNG consumption order as
     # sampling inside the loop).  Table views sample POSITIONS: random.sample
@@ -129,8 +146,9 @@ def dispatch_clusters_from_partitions(partitions, reference, options,
             ins_resident_enabled(options)
             and getattr(options, "cluster_backend", "device") != "exact")
         work.ed_cache = accel.precompute_ins_edit_distances(
-            [s for s in work.samples
-             if len(s) >= 2 and not (resident_mode and 3 <= len(s) <= 128)],
+            [s for i, s in enumerate(work.samples)
+             if len(s) >= 2 and i not in work.memo_hits
+             and not (resident_mode and 3 <= len(s) <= 128)],
             reference, options)
 
     # device clustering (the default backend): all six types run as batched
@@ -146,7 +164,8 @@ def dispatch_clusters_from_partitions(partitions, reference, options,
         if element_type in DEVICE_TYPES:
             work.eligible = [(index, sample_list)
                              for index, sample_list in enumerate(work.samples)
-                             if 3 <= len(sample_list) <= 128]
+                             if 3 <= len(sample_list) <= 128
+                             and index not in work.memo_hits]
             if work.eligible:
                 work.pending = dispatch_partitions_device(
                     [sample_list for _, sample_list in work.eligible],
@@ -176,6 +195,19 @@ def finish_clusters_from_partitions(work, reference, options, fetched=None):
                           for position, (index, _) in enumerate(work.eligible)}
 
     for partition_index, partition_sample in enumerate(samples):
+        memo_hit = work.memo_hits.get(partition_index)
+        if memo_hit is not None:
+            # mid-scan incremental result whose content key matched this
+            # exact partition: reuse the stored cluster index arrays
+            from svim_tpu.sigtable import LazyMembers
+
+            table = partition_sample.table
+            clustered = 0
+            for member_indices in memo_hit:
+                clusters_final.append(LazyMembers(table, member_indices))
+                clustered += len(member_indices)
+            duplicate_signatures += len(partition_sample) - clustered
+            continue
         if len(partition_sample) == 1:
             # singleton partitions skip dedup and linkage entirely (the
             # reference reaches the same single cluster through the full path)
@@ -195,8 +227,16 @@ def finish_clusters_from_partitions(work, reference, options, fetched=None):
         assert element_type in ("DEL", "DUP_TAN", "INV", "INS", "DUP_INT", "BND")
 
         if len(partition_sample) == 2:
-            # pair fast path: one scalar distance decides dedup and the cut
+            # pair fast path: one scalar distance decides dedup and the cut.
+            # Table partitions keep index-carrying views so downstream
+            # consumers (and the incremental memo) see one representation.
             first, second = partition_sample
+            is_view = getattr(partition_sample, "table", None) is not None
+
+            def _solo(position):
+                return (partition_sample.take([position]) if is_view
+                        else [partition_sample[position]])
+
             if element_type == "INS":
                 distance = accel.ins_pair_distance(first, second, reference,
                                                    options, ed_cache)
@@ -208,17 +248,18 @@ def finish_clusters_from_partitions(work, reference, options, fetched=None):
             if element_type != "INV" and first.read == second.read:
                 if distance <= options.cluster_max_distance:
                     duplicate_signatures += 1
-                    clusters_final.append([first])
+                    clusters_final.append(_solo(0))
                 else:
                     # same-read wall keeps them apart
-                    clusters_final.append([first])
-                    clusters_final.append([second])
+                    clusters_final.append(_solo(0))
+                    clusters_final.append(_solo(1))
                 continue
             if distance <= options.cluster_max_distance:
-                clusters_final.append([first, second])
+                clusters_final.append(partition_sample if is_view
+                                      else [first, second])
             else:
-                clusters_final.append([first])
-                clusters_final.append([second])
+                clusters_final.append(_solo(0))
+                clusters_final.append(_solo(1))
             continue
 
         # one vectorized distance matrix serves dedup and linkage (pair
@@ -586,6 +627,8 @@ def cluster_sv_signatures(sv_signatures, options):
     from svim_tpu.sigtable import SignatureSoA
 
     soa = sv_signatures if isinstance(sv_signatures, SignatureSoA) else None
+    # mid-scan incremental results (content-addressed; cluster/incremental.py)
+    memo = getattr(soa, "cluster_memo", None) if soa is not None else None
     by_type = {key: [] for key in ("DEL", "INS", "INV", "DUP_TAN", "BND", "DUP_INT")}
     if soa is None:
         for signature in sv_signatures:
@@ -629,7 +672,7 @@ def cluster_sv_signatures(sv_signatures, options):
                 partitions = form_partitions(by_type[key],
                                              options.partition_max_distance)
             staged[key] = (partitions, dispatch_clusters_from_partitions(
-                partitions, reference, options, batcher=batcher))
+                partitions, reference, options, batcher=batcher, memo=memo))
         outputs = batcher.device_outputs()
         if outputs:
             import jax
@@ -645,6 +688,10 @@ def cluster_sv_signatures(sv_signatures, options):
             consolidated[key] = _consolidate_typed(clusters, partitions,
                                                    labels[key])
         TELEMETRY.log_summary()
+        if memo:
+            hits = sum(len(work.memo_hits) for _partitions, work in staged.values())
+            logging.info("Incremental clustering: %d of %d partitions computed "
+                         "mid-scan were reused.", hits, len(memo))
     return (consolidated["DEL"], consolidated["INS"], consolidated["INV"],
             consolidated["DUP_TAN"], consolidated["DUP_INT"],
             consolidated["BND"])

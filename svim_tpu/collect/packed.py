@@ -308,6 +308,7 @@ def collect_soa_pipelined(bam_path: str, options):
     staged: List = []   # (StagedCollectSoA, global row start, real rows)
     state = SoAState()
     consumed = 0        # staged entries already fetched + consumed mid-scan
+    incremental = None  # mid-scan clustering (cluster/incremental.py)
     try:
         while True:
             row_start, n, max_ops, _body, done = session.next_rows(batch_reads)
@@ -315,6 +316,12 @@ def collect_soa_pipelined(bam_path: str, options):
                 # the walker parsed the header before delivering any rows,
                 # so the leading bytes of session.data are final
                 header, _offset = _parse_header(session.data)
+                from svim_tpu.cluster.incremental import (
+                    IncrementalClusterer,
+                    incremental_enabled,
+                )
+                if incremental_enabled(options):
+                    incremental = IncrementalClusterer(options, header)
             if n:
                 k = bucket_size(max(1, max_ops))
                 (cigar_words, ref_id, pos, mapq, flag, name_off, name_len,
@@ -349,15 +356,26 @@ def collect_soa_pipelined(bam_path: str, options):
             # round trip and the host-side consume ride inside the scan's
             # wall time instead of serializing after it.  The newest stage
             # is left computing so the fetch never waits on the device.
+            advanced = False
             while len(staged) - consumed >= 2:
                 stage, stage_start, _sn = staged[consumed]
                 fetched = jax.device_get(stage.device_tree())
                 consume_signatures_soa(stage, fetched, header, options,
                                        state, row_tag_offset=stage_start)
                 consumed += 1
+                advanced = True
+            if advanced and incremental is not None and consumed < len(staged):
+                # cluster partitions already final behind the frontier (the
+                # first un-consumed row) while the walker threads own the
+                # scan; the CLUSTER stage reuses whatever still matches
+                next_packed = staged[consumed][0].packed
+                incremental.observe(state, int(next_packed.ref_id[0]),
+                                    int(next_packed.ref_start[0]))
             if done:
                 break
     except Exception:
+        if incremental is not None:
+            incremental.finish()
         session.close()
         raise
 
@@ -370,6 +388,8 @@ def collect_soa_pipelined(bam_path: str, options):
             consume_signatures_soa(stage, fetched, header, options, state,
                                    row_tag_offset=row_start)
     soa, twins = state.finalize()
+    if incremental is not None:
+        soa.cluster_memo = incremental.finish()
 
     ref_id_parts, ref_start_parts, ref_end_parts, mapq_parts = [], [], [], []
     names_all: List[str] = []

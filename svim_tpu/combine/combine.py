@@ -49,9 +49,9 @@ def prepare_insertion_candidates(insertion_signature_clusters, options):
 
     logging.info("Generating and realigning consensus sequence for insertions..")
     import concurrent.futures
-    import os as _os
 
     from svim_tpu.combine.consensus import consensus_from_inputs, prepare_consensus_inputs
+    from svim_tpu.utils.cores import available_cores
 
     # plan: small clusters pass through; eligible ones get their reference
     # fetches serially (FastaFile handles are not thread-safe), then the
@@ -72,7 +72,7 @@ def prepare_insertion_candidates(insertion_signature_clusters, options):
                 if inputs is not None]
     outcomes = {}
     if eligible:
-        workers = min(8, _os.cpu_count() or 1, len(eligible))
+        workers = min(8, available_cores(), len(eligible))
         with concurrent.futures.ThreadPoolExecutor(workers) as pool:
             for (index, _), outcome in zip(eligible, pool.map(
                     lambda item: consensus_from_inputs(

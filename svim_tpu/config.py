@@ -87,6 +87,9 @@ class Config:
                                        # fallback for f32-ambiguous partitions) | "exact"
     num_shards: int = 1                # data-parallel read shards over the mesh
     batch_reads: int = 4096            # reads per packed device batch
+    incremental_cluster: str = "auto"  # "auto" (cluster scan-final partitions
+                                       # mid-scan, reuse at CLUSTER when the
+                                       # final partition content matches) | "off"
     stream_input: bool = False         # force the bounded-memory streaming scanner
     profile: bool = False              # per-stage wall-clock timing (untraced)
     profile_trace: bool = False        # additionally capture jax.profiler traces
@@ -197,6 +200,15 @@ def _add_common_options(parser: argparse.ArgumentParser) -> None:
                            help="Number of data-parallel read shards across the device mesh (default: %(default)s).")
     execution.add_argument("--batch_reads", type=int, default=d.batch_reads,
                            help="Reads per packed device batch (default: %(default)s).")
+    execution.add_argument("--incremental_cluster", type=str,
+                           default=d.incremental_cluster,
+                           choices=("auto", "off"),
+                           help="Cluster partitions that are provably complete "
+                                "behind the scan frontier WHILE the BAM scan still "
+                                "runs; the CLUSTER stage reuses a mid-scan result "
+                                "only when the final partition content matches "
+                                "exactly, so output is identical either way "
+                                "(default: %(default)s).")
     execution.add_argument("--stream_input", action="store_true",
                            help="Stream the input BAM window-by-window with bounded "
                                 "memory (automatic for inputs over 256 MiB; "

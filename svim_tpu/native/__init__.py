@@ -19,6 +19,8 @@ import os
 import subprocess
 import threading
 
+from svim_tpu.utils.cores import available_cores
+
 _SOURCE = os.path.join(os.path.dirname(__file__), "svimnative.cpp")
 # SVIM_NATIVE_TSAN=1 selects a ThreadSanitizer-instrumented build of the
 # same sources (race tooling for the thread pools: BGZF inflate, ed batch,
@@ -256,7 +258,7 @@ class aligner:
         if not pairs:
             return []
         if n_threads <= 0:
-            n_threads = min(8, os.cpu_count() or 1)
+            n_threads = min(8, available_cores() or 1)
         chunks = []
         a_off = np.empty(len(pairs), dtype=np.int64)
         a_len = np.empty(len(pairs), dtype=np.int64)
@@ -311,7 +313,7 @@ class aligner:
         if n_pairs == 0:
             return []
         if n_threads <= 0:
-            n_threads = min(8, os.cpu_count() or 1)
+            n_threads = min(8, available_cores() or 1)
         out = np.empty(n_pairs, dtype=np.int64)
 
         def ptr(array):
@@ -498,7 +500,7 @@ def bam_scan_fused_window(compressed: bytes, prefix=b"", walk_start: int = -1,
     if lib is None:
         return None
     if n_threads <= 0:
-        n_threads = max(1, min(8, os.cpu_count() or 1) - 1)
+        n_threads = max(1, min(8, available_cores() or 1) - 1)
     total = lib.bgzf_uncompressed_size(compressed, len(compressed))
     if total < 0:
         return None
@@ -543,7 +545,7 @@ def bgzf_decompress_with_prefix(data: bytes, prefix=b"", n_threads: int = 0):
     if lib is None:
         return None
     if n_threads <= 0:
-        n_threads = min(8, os.cpu_count() or 1)
+        n_threads = min(8, available_cores() or 1)
     total = lib.bgzf_uncompressed_size(data, len(data))
     if total < 0:
         return None
@@ -571,7 +573,7 @@ def bgzf_decompress_parallel(data: bytes, n_threads: int = 0):
     if lib is None:
         return None
     if n_threads <= 0:
-        n_threads = min(8, os.cpu_count() or 1)
+        n_threads = min(8, available_cores() or 1)
     total = lib.bgzf_uncompressed_size(data, len(data))
     if total < 0:
         return None
@@ -607,7 +609,7 @@ def _scan_workers(reserve: int) -> int:
         forced = 0
     if forced > 0:
         return min(8, forced)
-    return max(1, min(8, (os.cpu_count() or 1) - reserve))
+    return max(1, min(8, (available_cores() or 1) - reserve))
 
 
 _STREAM_POOL: list = []   # up to two retired inflate buffers (ping-pong)
@@ -688,7 +690,7 @@ def cigar_compact_rows(buffer, cigar_off, n_cigar, min_sv_size: int,
     def ptr(array):
         return array.ctypes.data_as(ctypes.c_void_p)
 
-    n_threads = min(8, os.cpu_count() or 1)
+    n_threads = min(8, available_cores() or 1)
     counts = np.empty(n, dtype=np.int32)
     buffer_arg = _buffer_arg(buffer)
     lib.cigar_compact_counts(buffer_arg, ptr(off), ptr(ops), n, min_sv_size,
@@ -780,7 +782,7 @@ def bamscan_native(data: bytes, min_mapq: int, bucket_size_fn,
         return array.ctypes.data_as(ctypes.c_void_p)
 
     if n_threads <= 0:
-        n_threads = min(8, os.cpu_count() or 1)
+        n_threads = min(8, available_cores() or 1)
     if lib.bam_fill(data_arg, size, body_offset, min_mapq, min_sv_size, k,
                     ptr(cigar_words), ptr(ref_id), ptr(pos),
                     ptr(mapq), ptr(flag), ptr(name_off), ptr(name_len),

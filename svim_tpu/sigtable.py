@@ -391,15 +391,21 @@ class TableBuilder:
 
 
 class SignatureSoA:
-    """All six types' tables from one COLLECT run (plus shared pools)."""
+    """All six types' tables from one COLLECT run (plus shared pools).
 
-    __slots__ = ("tables", "contigs", "reads")
+    `cluster_memo` optionally carries mid-scan incremental clustering results
+    (cluster/incremental.py): {(type, indices bytes) -> cluster index arrays},
+    keyed by exact partition content so CLUSTER can only ever reuse a result
+    whose inputs match the final table bit-for-bit."""
+
+    __slots__ = ("tables", "contigs", "reads", "cluster_memo")
 
     def __init__(self, tables: Dict[str, SignatureTable], contigs: StringPool,
-                 reads: StringPool):
+                 reads: StringPool, cluster_memo=None):
         self.tables = tables
         self.contigs = contigs
         self.reads = reads
+        self.cluster_memo = cluster_memo
 
     def count(self, sig_type: str) -> int:
         table = self.tables.get(sig_type)
