@@ -111,15 +111,31 @@ def main():
     base_env.update({"JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO_ROOT})
     common = ["--device_backend", "cpu", "--profile", "--skip_genotyping"]
 
-    # warm pass populates the persistent jit cache so neither timed run
+    # warm passes populate the persistent jit cache so neither timed run
     # pays cold compiles (and the 2-proc ranks stay inside Gloo's timeout).
-    # Pinned mode warms under the SINGLE-rank affinity: worker pools are
-    # sized at call time from each process's own affinity, so the warm run
-    # only needs to populate the jit cache, which is affinity-independent.
+    # The distributed warm matters separately: rank batch shapes differ
+    # from the single-process ones, so a timed FIRST distributed run would
+    # charge scaling with one-time compiles.  Pinned mode warms under the
+    # same affinities as the timed runs.
     subprocess.run(_pin(SINGLE_CORES)
                    + [sys.executable, "-m", "svim_tpu", "alignment",
                       os.path.join(tmp_dir, "wd_warm"), bam, genome] + common,
                    env=base_env, capture_output=True, timeout=1800)
+    warm_coord = "127.0.0.1:{0}".format(_free_port())
+    warm_ranks = []
+    for rank in range(2):
+        env = dict(base_env)
+        env.update({"SVIM_COORDINATOR": warm_coord,
+                    "SVIM_NUM_PROCESSES": "2",
+                    "SVIM_PROCESS_ID": str(rank)})
+        warm_ranks.append(subprocess.Popen(
+            _pin(RANK_CORES[rank % len(RANK_CORES)])
+            + [sys.executable, "-m", "svim_tpu", "alignment",
+               os.path.join(tmp_dir, "wd_warm_multi"), bam, genome,
+               "--distributed"] + common,
+            env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL))
+    for proc in warm_ranks:
+        proc.wait(timeout=1800)
 
     t0 = time.perf_counter()
     single = subprocess.run(

@@ -262,15 +262,100 @@ def collect_soa_pipelined(bam_path: str, options):
     Returns (header, GenotypeTable, SignatureSoA, twins) — the same shape
     the streaming path produces.  Replaces the ingest the reference pays
     inside COLLECT (SVIM_COLLECT.py:132-167) for the array path."""
+    with open(bam_path, "rb") as handle:
+        compressed = handle.read()
+    return _collect_soa_pipelined_stream(compressed, options,
+                                         fallback_path=bam_path)
+
+
+def collect_soa_pipelined_range(bam_path: str, options, num_processes: int,
+                                process_id: int):
+    """Pipelined SoA COLLECT over ONE process's record range (multi-host).
+
+    Same contract as io.bamrange.scan_bam_range — concatenating per-rank
+    outputs in rank order reproduces the serial stream exactly (both ends
+    of every boundary run the identical deterministic record-chain scan) —
+    but through the native scan session instead of a one-shot inflate:
+    the rank's stream is header blocks + its owned blocks + a small
+    overhang, the session's walker skips to walk_start and stops at
+    walk_end (inflated coordinates), and inflate/walk/device dispatch
+    overlap exactly as in the single-process pipelined path.  This
+    replaces the copy-heavy scan_bam_range route whose fresh
+    hundreds-of-MB buffers per rank paid the known page-churn stall class
+    (BENCH_NOTES.md round 4)."""
+    import struct as _struct
+
+    from svim_tpu.io.bamrange import BamRangePlan
+
+    plan = BamRangePlan(bam_path)
+    comp = plan.compressed
+    offs = plan.block_offsets
+    n_blocks = len(offs) - 1
+    b_lo, b_hi = plan.block_range(num_processes, process_id)
+
+    def _isize(j):
+        # BGZF ISIZE field: inflated size of block j
+        return _struct.unpack_from("<I", comp, offs[j + 1] - 4)[0]
+
+    if b_lo >= b_hi:
+        return _empty_rank_collect(plan, options)
+    range_infl = sum(_isize(j) for j in range(b_lo, b_hi))
+    if b_lo == 0:
+        head = b""
+        head_infl = 0
+        my_first = plan.first_record_offset
+    else:
+        head = comp[:offs[plan.header_blocks]]
+        head_infl = plan.header_inflated_len
+        my_first = plan._range_first_record(b_lo)
+        if my_first is None or my_first >= range_infl:
+            # whole range is the interior of one giant upstream record
+            return _empty_rank_collect(plan, options)
+    parts = [head, comp[offs[b_lo]:offs[b_hi]]]
+    walk_end = -1
+    if b_hi < n_blocks:
+        next_first = plan._range_first_record(b_hi)
+        if next_first is None:
+            # everything after this range is a straddling tail we own
+            parts.append(comp[offs[b_hi]:])
+        else:
+            tail_infl = 0
+            j = b_hi
+            while tail_infl < next_first:
+                tail_infl += _isize(j)
+                j += 1
+            parts.append(comp[offs[b_hi]:offs[j]])
+            walk_end = head_infl + range_infl + next_first
+    return _collect_soa_pipelined_stream(
+        b"".join(parts), options, walk_start=head_infl + my_first,
+        walk_end=walk_end, allow_incremental=False)
+
+
+def _empty_rank_collect(plan, options):
+    """(header, empty GenotypeTable, empty SoA, no twins) for a rank that
+    owns no whole record."""
+    from svim_tpu.io.bamstream import GenotypeTable, _parse_header
+
+    header, _offset = _parse_header(plan.header_bytes)
+    state = SoAState()
+    soa, twins = state.finalize()
+    table = GenotypeTable(np.zeros(0, np.int32), np.zeros(0, np.int64),
+                          np.zeros(0, np.int64), np.zeros(0, np.int32), [])
+    return header, table, soa, twins
+
+
+def _collect_soa_pipelined_stream(compressed: bytes, options,
+                                  fallback_path=None, walk_start: int = -1,
+                                  walk_end: int = -1,
+                                  allow_incremental: bool = True):
+    """collect_soa_pipelined over in-memory BGZF bytes with optional walker
+    bounds (multi-host byte ranges)."""
     import jax
 
     from svim_tpu import native
     from svim_tpu.io.bamscan import LazySequences, LazyStrings, build_packed
     from svim_tpu.io.bamstream import GenotypeTable, _parse_header, _row_bucket
     from svim_tpu.io.packing import bucket_size
-
-    with open(bam_path, "rb") as handle:
-        compressed = handle.read()
     # Inflate worker count by platform (round-5 control, BENCH_NOTES.md
     # "Round 5: inflate control"): the scan session scales to all 4 cores
     # when the caller's device work runs OFF-box (TPU: dispatch is an RPC),
@@ -285,11 +370,15 @@ def collect_soa_pipelined(bam_path: str, options):
     try:
         session = native.BamScanSession(compressed, options.min_mapq,
                                         options.min_sv_size,
-                                        n_threads=scan_workers)
+                                        n_threads=scan_workers,
+                                        walk_start=walk_start,
+                                        walk_end=walk_end)
     except ValueError:
+        if fallback_path is None:
+            raise
         # not BGZF (e.g. plain-gzip BAM): the classic scanner handles it
         from svim_tpu.io.bamscan import scan_bam
-        header, packed, sa_tags = scan_bam(bam_path, options.min_mapq,
+        header, packed, sa_tags = scan_bam(fallback_path, options.min_mapq,
                                            options.min_sv_size)
         soa, twins = signatures_from_packed_soa(packed, sa_tags, header,
                                                 options)
@@ -320,7 +409,7 @@ def collect_soa_pipelined(bam_path: str, options):
                     IncrementalClusterer,
                     incremental_enabled,
                 )
-                if incremental_enabled(options):
+                if allow_incremental and incremental_enabled(options):
                     incremental = IncrementalClusterer(options, header)
             if n:
                 k = bucket_size(max(1, max_ops))

@@ -38,7 +38,9 @@ MAX_DP_CELLS_PY = 16_000_000
 # boundary — the acceptance rule of the round-4 banded graph alignment).
 # Native (svimnative.cpp kGotohFullDpCells) and this Python oracle apply the
 # identical policy so the star-polish differential stays byte-equal.
-FULL_DP_CELLS_AUTO = 4_000_000
+# Round-5: 4M -> 16k, banding typical cluster-sized DPs (measured 3-24x
+# at mid-length 436-4000 with byte-identical alignments).
+FULL_DP_CELLS_AUTO = 16_384
 
 NEG_INF = float("-inf")
 

@@ -173,6 +173,10 @@ class BamRangePlan:
                 self.first_record_offset, self.n_ref = parsed
                 break
         self.header_bytes = data[:self.first_record_offset]
+        # total inflated size of blocks [0, header_blocks) — the inflated
+        # offset where a rank's own block range begins when the header
+        # blocks are prepended to its stream (collect_soa_pipelined_range)
+        self.header_inflated_len = len(data)
 
     def block_range(self, num_processes: int, process_id: int) -> Tuple[int, int]:
         """Contiguous block range [lo, hi) for a process, balanced by

@@ -163,7 +163,8 @@ def get_library():
         lib.bam_scan_session_start.restype = ctypes.c_void_p
         lib.bam_scan_session_start.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
-            ctypes.c_int, ctypes.c_int32, ctypes.c_int]
+            ctypes.c_int, ctypes.c_int32, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int64]
         lib.bam_scan_session_next.restype = ctypes.c_int64
         lib.bam_scan_session_next.argtypes = [
             ctypes.c_void_p, ctypes.c_int64,
@@ -201,7 +202,7 @@ class aligner:
 
     # keep in lockstep with combine/consensus.py FULL_DP_CELLS_AUTO /
     # MAX_DP_CELLS_NATIVE and svimnative.cpp kGotoh*Cells
-    FULL_DP_CELLS_AUTO = 4_000_000
+    FULL_DP_CELLS_AUTO = 16_384
     MAX_CELLS = 256_000_000
 
     @staticmethod
@@ -815,7 +816,7 @@ class BamScanSession:
     """
 
     def __init__(self, compressed: bytes, min_mapq: int, min_sv_size: int = 0,
-                 n_threads: int = 0):
+                 n_threads: int = 0, walk_start: int = -1, walk_end: int = -1):
         lib = get_library()
         if lib is None:
             raise RuntimeError("native library unavailable")
@@ -830,7 +831,7 @@ class BamScanSession:
         self._lib = lib
         self._handle = lib.bam_scan_session_start(
             compressed, len(compressed), self._view, total,
-            min_mapq, min_sv_size, n_threads)
+            min_mapq, min_sv_size, n_threads, walk_start, walk_end)
         if not self._handle:
             del self._view
             raise ValueError("not a BGZF BAM stream")

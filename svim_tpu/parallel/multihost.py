@@ -374,30 +374,66 @@ def _local_genotype_columns(packed):
     }
 
 
+def _table_genotype_columns(table):
+    """Genotype columns from a pipelined-scan GenotypeTable.  The scan
+    session already dropped unmapped/secondary/sub-mapq rows, so the flag
+    column is uniformly zero (the genotyper's eligibility re-filter keeps
+    every row either way)."""
+    n = len(table.ref_id)
+    return {
+        "ref_id": np.asarray(table.ref_id, dtype=np.int32),
+        "ref_start": np.asarray(table.ref_start, dtype=np.int64),
+        "ref_end": np.asarray(table.ref_end, dtype=np.int64),
+        "mapq": np.asarray(table.mapq, dtype=np.int32),
+        "flag": np.zeros(n, dtype=np.int32),
+        "names": list(table.names),
+    }
+
+
 def collect_distributed(options):
     """Per-process ranged COLLECT + global fixed-dtype exchange.
 
     Returns (MergedAlignmentIndex, SignatureSoA, twins) where the SoA
     equals the single-process COLLECT output on the whole file."""
-    from svim_tpu.collect.packed import signatures_from_packed_soa
-    from svim_tpu.io.bamrange import scan_bam_range
+    import time as _time
 
     rank = process_index()
     world = process_count()
-    header, packed, sa_tags = scan_bam_range(
-        options.bam_file, world, rank,
-        options.min_mapq, options.min_sv_size)
-    local_soa, local_twins = signatures_from_packed_soa(packed, sa_tags,
-                                                        header, options)
+    t0 = _time.perf_counter()
+    try:
+        from svim_tpu.collect.packed import collect_soa_pipelined_range
+        header, table, local_soa, local_twins = collect_soa_pipelined_range(
+            options.bam_file, options, world, rank)
+        geno_columns = _table_genotype_columns(table)
+        n_records = len(table.ref_id)
+    except (RuntimeError, ValueError):
+        # native scan session unavailable (no compiler) or not BGZF:
+        # the one-shot ranged scan covers it
+        from svim_tpu.collect.packed import signatures_from_packed_soa
+        from svim_tpu.io.bamrange import scan_bam_range
+        header, packed, sa_tags = scan_bam_range(
+            options.bam_file, world, rank,
+            options.min_mapq, options.min_sv_size)
+        local_soa, local_twins = signatures_from_packed_soa(
+            packed, sa_tags, header, options)
+        geno_columns = _local_genotype_columns(packed)
+        n_records = packed.n
+    t_scan = _time.perf_counter()
     logging.info("Process {0}/{1}: collected {2} local signatures from "
                  "{3} records".format(rank, world, local_soa.total(),
-                                      packed.n))
+                                      n_records))
 
-    arrays = soa_to_arrays(local_soa, local_twins,
-                           _local_genotype_columns(packed))
+    arrays = soa_to_arrays(local_soa, local_twins, geno_columns)
+    t_pack = _time.perf_counter()
     gathered = allgather_arrays(arrays)
+    t_gather = _time.perf_counter()
     soa, twins, merged = merge_gathered_soa(gathered)
+    t_merge = _time.perf_counter()
     logging.info("Exchange: {0} bytes sent, {1} bytes received over {2} "
                  "gather rounds (fixed-dtype columns, no pickle)".format(
                      EXCHANGE.sent, EXCHANGE.received, EXCHANGE.rounds))
+    logging.info("Distributed collect phases: scan {0:.2f}s, pack {1:.2f}s, "
+                 "gather {2:.2f}s (straggler wait included), merge {3:.2f}s"
+                 .format(t_scan - t0, t_pack - t_scan, t_gather - t_pack,
+                         t_merge - t_gather))
     return MergedAlignmentIndex(merged, header), soa, twins

@@ -236,3 +236,43 @@ def test_sharded_cluster_matches_unsharded(dataset):
             entry_b = (b.get_bed_entries() if hasattr(b, "get_bed_entries")
                        else b.get_bed_entry())
             assert entry_a == entry_b
+
+
+def test_range_pipelined_collect_tiles_exactly(dataset):
+    """collect_soa_pipelined_range (the session-backed rank COLLECT) tiles
+    the file: concatenating per-rank signature tables and genotype columns
+    in rank order equals the single-process pipelined collect, for several
+    process counts including ones that leave some rank nearly/fully empty."""
+    import numpy as np
+
+    out, bam, genome = dataset
+    from svim_tpu.collect.packed import (
+        collect_soa_pipelined,
+        collect_soa_pipelined_range,
+    )
+    from svim_tpu.config import parse_arguments
+
+    from svim_tpu.parallel.multihost import (
+        _table_genotype_columns,
+        merge_gathered_soa,
+        soa_to_arrays,
+    )
+
+    options = parse_arguments(arguments=["alignment", out, bam, genome])
+    _header, table, soa, twins = collect_soa_pipelined(bam, options)
+    full_sigs = [s.as_string() for s in soa.materialize_all()]
+    full_names = list(table.names)
+    for world in (2, 3, 7):
+        gathered = []
+        for rank in range(world):
+            _h, r_table, r_soa, r_twins = collect_soa_pipelined_range(
+                bam, options, world, rank)
+            gathered.append(soa_to_arrays(r_soa, r_twins,
+                                          _table_genotype_columns(r_table)))
+        merged_soa, merged_twins, merged_geno = merge_gathered_soa(gathered)
+        assert ([s.as_string() for s in merged_soa.materialize_all()]
+                == full_sigs), "world={0}".format(world)
+        assert merged_geno.names == full_names, "world={0}".format(world)
+        assert np.array_equal(np.asarray(merged_geno.ref_start),
+                              np.asarray(table.ref_start))
+        assert len(merged_twins) == len(twins)
