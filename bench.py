@@ -257,18 +257,24 @@ def _array_measurement(tmp_dir, bam_path, genome_path):
     logging.disable(logging.INFO)
 
     from svim_tpu.config import parse_arguments
-    from svim_tpu.utils.device import setup_jax_cache
+    from svim_tpu.utils.device import select_backend, setup_jax_cache
 
+    platform_note = ""
     if os.environ.get("SVIM_BENCH_FORCE_CPU") == "1":
         import jax
         jax.config.update("jax_platforms", "cpu")
-    setup_jax_cache()
+        setup_jax_cache()
+    else:
+        # the production backend choice: measure the accelerator link and
+        # run on host XLA when batch shipping can't beat it (utils/device)
+        if select_backend("auto") == "host-auto":
+            platform_note = " (auto: host XLA, degraded device link)"
     options = parse_arguments(arguments=["alignment", tmp_dir, bam_path, genome_path])
 
     import jax
     from svim_tpu.collect.packed import collect_soa_from_bam
 
-    platform = jax.devices()[0].platform
+    platform = jax.devices()[0].platform + platform_note
     # warmup (compile)
     collect_soa_from_bam(bam_path, options)
     best = float("inf")
