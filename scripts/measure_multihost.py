@@ -104,7 +104,15 @@ def main():
     import bench
 
     tmp_dir = tempfile.mkdtemp(prefix="svim_scale_")
-    bam, genome, _header, _records = bench.make_workload(tmp_dir)
+    # SVIM_SCALE_WORKLOAD_DIR reuses a pre-generated bench workload (the
+    # 65k generation alone costs ~10 min of pure Python)
+    reuse = os.environ.get("SVIM_SCALE_WORKLOAD_DIR")
+    if reuse and os.path.exists(os.path.join(reuse, "bench.bam")):
+        bam = os.path.join(reuse, "bench.bam")
+        genome = os.path.join(reuse, "genome.fa")
+    else:
+        bam, genome, _header, _records = bench.make_workload(
+            reuse or tmp_dir)
     soa_bytes, pickle_bytes = _payload_sizes(bam, genome, tmp_dir)
 
     base_env = dict(os.environ)

@@ -72,14 +72,35 @@ def prepare_insertion_candidates(insertion_signature_clusters, options):
                 if inputs is not None]
     outcomes = {}
     if eligible:
-        workers = min(8, available_cores(), len(eligible))
-        with concurrent.futures.ThreadPoolExecutor(workers) as pool:
-            for (index, _), outcome in zip(eligible, pool.map(
-                    lambda item: consensus_from_inputs(
-                        item[1],
-                        maximum_haplotype_length=options.max_consensus_length),
-                    eligible)):
-                outcomes[index] = outcome
+        # COMBINE sharding (round 5): consensus is the dominant COMBINE
+        # cost and is per-cluster independent, so distributed runs split
+        # the eligible clusters round-robin across ranks and exchange the
+        # outcomes — one gather, byte-identical downstream on every rank
+        world, rank = 1, 0
+        if getattr(options, "distributed", False):
+            from svim_tpu.parallel.multihost import (
+                process_count,
+                process_index,
+            )
+            world = process_count()
+            rank = process_index()
+        owned = [item for position, item in enumerate(eligible)
+                 if position % world == rank]
+        local_outcomes = {}
+        if owned:
+            workers = min(8, available_cores(), len(owned))
+            with concurrent.futures.ThreadPoolExecutor(workers) as pool:
+                for (index, _), outcome in zip(owned, pool.map(
+                        lambda item: consensus_from_inputs(
+                            item[1],
+                            maximum_haplotype_length=options.max_consensus_length),
+                        owned)):
+                    local_outcomes[index] = outcome
+        if world > 1:
+            from svim_tpu.parallel.multihost import exchange_consensus_outcomes
+            outcomes = exchange_consensus_outcomes(local_outcomes)
+        else:
+            outcomes = local_outcomes
 
     # status: 0 successful, 1 skipped, 2 failed, 3 no consensus, 4 multiple
     status_counter = [0, 0, 0, 0, 0]

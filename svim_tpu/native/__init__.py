@@ -813,6 +813,11 @@ class BamScanSession:
 
     The inflated stream is session.data (pooled bytearray, valid until the
     next scan reuses it after close() AND all lazy views die).
+
+    walk_start/walk_end (inflated coordinates, -1 = unbounded) restrict the
+    record walk to a sub-range of the stream: multi-host ranks compose
+    header blocks + their owned blocks + a small overhang and walk only
+    their own records (collect.packed.collect_soa_pipelined_range).
     """
 
     def __init__(self, compressed: bytes, min_mapq: int, min_sv_size: int = 0,

@@ -390,6 +390,52 @@ def _table_genotype_columns(table):
     }
 
 
+def exchange_consensus_outcomes(local_outcomes):
+    """All-gather per-rank insertion-consensus outcomes (COMBINE sharding).
+
+    `local_outcomes` maps eligible-cluster index -> (status, result) where
+    result is (realigned_start, realigned_size, consensus_str) when status
+    is 0, else ().  Every rank computes a disjoint index subset
+    (index % world == rank); the gather hands all ranks the identical
+    merged dict, so the rest of COMBINE stays byte-deterministic.  Fixed
+    dtypes only — same transport as the signature exchange."""
+    indices = sorted(local_outcomes)
+    statuses = np.array([local_outcomes[i][0] for i in indices],
+                        dtype=np.int8)
+    starts = np.zeros(len(indices), dtype=np.int64)
+    sizes = np.zeros(len(indices), dtype=np.int64)
+    seqs = []
+    for row, index in enumerate(indices):
+        status, result = local_outcomes[index]
+        if status == 0:
+            starts[row], sizes[row], sequence = result
+            seqs.append(sequence)
+        else:
+            seqs.append("")
+    blob = "".join(seqs).encode()
+    arrays = {
+        "index": np.asarray(indices, dtype=np.int64),
+        "status": statuses,
+        "start": starts,
+        "size": sizes,
+        "seq_len": np.array([len(s) for s in seqs], dtype=np.int64),
+        "seq_blob": np.frombuffer(blob, dtype=np.uint8),
+    }
+    merged = {}
+    for part in allgather_arrays(arrays):
+        offsets = np.concatenate([[0], np.cumsum(part["seq_len"])])
+        part_blob = part["seq_blob"].tobytes()
+        for row, index in enumerate(part["index"]):
+            status = int(part["status"][row])
+            if status == 0:
+                sequence = part_blob[offsets[row]:offsets[row + 1]].decode()
+                merged[int(index)] = (0, (int(part["start"][row]),
+                                          int(part["size"][row]), sequence))
+            else:
+                merged[int(index)] = (status, ())
+    return merged
+
+
 def collect_distributed(options):
     """Per-process ranged COLLECT + global fixed-dtype exchange.
 

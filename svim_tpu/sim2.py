@@ -69,6 +69,12 @@ class Sim2Config(NamedTuple):
     n_dup_int: int = 3
     n_dup_int_cutpaste: int = 2
     n_bnd: int = 3
+    # nested / adjacent SV stress (0 = off; round-5 addition — the prior
+    # reserved-site design only ever placed isolated events)
+    n_ins_in_inv: int = 0       # novel insertion INSIDE an inverted span
+    n_del_in_tan: int = 0       # deletion inside the SECOND tandem copy
+    n_replace: int = 0          # adjacent DEL+INS at one breakpoint
+    n_close_del_pair: int = 0   # two DELs within one partition gap
     # a single alignment keeps reference gaps up to this size as D ops
     contain_gap: int = 3_000
 
@@ -403,10 +409,70 @@ def build_donor(genome, config: Sim2Config, rng):
         truth.append(Truth("BND", dest_contig, dest, 0))
         truth.append(Truth("BND", source_contig, source, 0))
         truth.append(Truth("BND", source_contig, source + size - 1, 0))
+    # --- nested / adjacent stress cases (all share one reserved outer
+    # span, so the reservation guarantee still isolates the COMPOSITE from
+    # other truth sites while the composite's parts deliberately interact) —
+    for _ in range(config.n_ins_in_inv):
+        # inversion whose INVERTED sequence carries a novel insertion: the
+        # reverse alignment run keeps an internal I op, so the caller must
+        # report both the INV (split orientation flips, SVIM_inter.py:152-204)
+        # and the INS (cigar scan, SVIM_intra.py:33) at the same locus
+        contig = pick_host()
+        size = rng.randint(800, 3_000)
+        position = reserve(contig, size)
+        k = rng.randint(150, size - 150)      # reference offset of the INS
+        ins_len = rng.randint(60, 300)
+        novel = "".join(rng.choice("ACGT") for _ in range(ins_len))
+        edits[contig].append((position, "INV_INS", (size, k, novel)))
+        truth.append(Truth("INV", contig, position, size))
+        truth.append(Truth("INS", contig, position + k, ins_len))
+    for _ in range(config.n_del_in_tan):
+        # tandem duplication whose second copy lost an internal span: the
+        # duplication split evidence and a DEL cigar signature (from the
+        # second copy's alignment) coexist inside one reference window
+        contig = pick_host()
+        size = rng.randint(600, 1_500)
+        position = reserve(contig, size)
+        d_off = rng.randint(80, size - 300)
+        d_len = rng.randint(60, min(size - d_off - 100, 400))
+        edits[contig].append((position, "TAN_DEL", (size, d_off, d_len)))
+        truth.append(Truth("DUP:TANDEM", contig, position, size))
+        truth.append(Truth("DEL", contig, position + d_off, d_len))
+    for _ in range(config.n_replace):
+        # replacement: a deletion and an insertion at the SAME breakpoint
+        # (adjacent I and D ops in one alignment)
+        contig = pick_host()
+        d_size = rng.randint(60, 600)
+        i_size = rng.randint(60, 600)
+        position = reserve(contig, d_size)
+        novel = "".join(rng.choice("ACGT") for _ in range(i_size))
+        edits[contig].append((position, "REPLACE", (d_size, novel)))
+        truth.append(Truth("DEL", contig, position, d_size))
+        truth.append(Truth("INS", contig, position, i_size))
+    for _ in range(config.n_close_del_pair):
+        # two deletions inside ONE partition gap (< partition_max_distance):
+        # form_partitions groups them and the linkage cut must still
+        # separate the two clusters (gap >= 550 keeps the span-position
+        # distance above the 0.5 fcluster cut, SVIM_clustering.py:47-63)
+        contig = pick_host()
+        d1 = rng.randint(60, 400)
+        gap = rng.randint(550, 900)
+        d2 = rng.randint(60, 400)
+        position = reserve(contig, d1 + gap + d2)
+        edits[contig].append((position, "DEL", d1))
+        edits[contig].append((position + d1 + gap, "DEL", d2))
+        truth.append(Truth("DEL", contig, position, d1))
+        truth.append(Truth("DEL", contig, position + d1 + gap, d2))
     for _ in range(config.n_bnd):
-        # reciprocal-less simple junction: splice a distant span in
+        # reciprocal-less simple junction: splice a distant span in.
+        # The destination must be INTER-chromosomal: a same-contig
+        # reversed splice within max_sv_size is legitimately classified
+        # as an INVERSION by the reference (SVIM_inter.py:152-204), which
+        # would make the BND truth rows unmatchable.
         dest_contig = pick_host()
         source_contig = contigs[-1]
+        if dest_contig == source_contig and len(contigs) > 1:
+            dest_contig = contigs[contigs.index(dest_contig) - 1]
         size = rng.randint(5_000, 12_000)
         source = reserve(source_contig, size)
         dest = reserve(dest_contig, 1)
@@ -442,6 +508,33 @@ def build_donor(genome, config: Sim2Config, rng):
                                              position + size, False,
                                              emit_as_insert=as_insert))
                 cursor = position + size
+            elif kind == "INV_INS":
+                size, k, novel = params
+                # donor carries revcomp(ref[p:p+size]) with `novel` spliced
+                # at donor offset size-k (= reference offset k); the three
+                # segments merge into ONE reverse alignment run with an
+                # internal I op (_project's reverse-gap merge)
+                segments.append(_Segment(contig, position + k,
+                                         position + size, True))
+                segments.append(_Segment(None, 0, 0, False, novel=novel))
+                segments.append(_Segment(contig, position, position + k,
+                                         True))
+                cursor = position + size
+            elif kind == "TAN_DEL":
+                size, d_off, d_len = params
+                segments.append(_Segment(contig, position, position + size,
+                                         False))
+                # second copy, minus [d_off, d_off+d_len): the two pieces
+                # merge into one forward run with an internal D op
+                segments.append(_Segment(contig, position, position + d_off,
+                                         False))
+                segments.append(_Segment(contig, position + d_off + d_len,
+                                         position + size, False))
+                cursor = position + size
+            elif kind == "REPLACE":
+                d_size, novel = params
+                segments.append(_Segment(None, 0, 0, False, novel=novel))
+                cursor = position + d_size
             elif kind == "COPY_IN":
                 other, source, size = params
                 segments.append(_Segment(other, source, source + size, False))

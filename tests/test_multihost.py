@@ -276,3 +276,19 @@ def test_range_pipelined_collect_tiles_exactly(dataset):
         assert np.array_equal(np.asarray(merged_geno.ref_start),
                               np.asarray(table.ref_start))
         assert len(merged_twins) == len(twins)
+
+
+def test_consensus_outcome_exchange_round_trip():
+    """exchange_consensus_outcomes at world=1 must hand back exactly what
+    was computed locally (the transport encodes statuses, coordinates, and
+    consensus strings in fixed dtypes)."""
+    from svim_tpu.parallel.multihost import exchange_consensus_outcomes
+
+    local = {
+        0: (0, (1234, 56, "ACGTACGT")),
+        2: (1, ()),
+        5: (0, (99, 0, "")),
+        7: (4, ()),
+    }
+    merged = exchange_consensus_outcomes(local)
+    assert merged == local

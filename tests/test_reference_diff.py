@@ -231,3 +231,24 @@ def test_reference_parity_on_independent_harness(tmp_path):
     _run_reference(wd_ref, bam, genome)
     assert main(["alignment", wd_ours, bam, genome]) == 0
     _diff_tree(wd_ref, wd_ours)
+
+def test_reference_parity_on_nested_sv_dataset(tmp_path):
+    """Byte parity on the round-5 NESTED/ADJACENT stress dataset: INS inside
+    an inverted span, DEL inside the second tandem copy, DEL+INS replacement
+    at one breakpoint, and two DELs sharing one partition — the cases that
+    exercise the reference's merge/removal interactions
+    (SVIM_COMBINE.py:404-457, SVIM_merging.py:93-158) hardest."""
+    from svim_tpu.sim2 import Sim2Config, simulate_independent
+
+    genome, bam, _truth = simulate_independent(
+        str(tmp_path), Sim2Config(seed=31, contig_lengths=(500_000, 300_000),
+                                  coverage=10, n_del=2, n_ins=2, n_inv=1,
+                                  n_tan=1, n_tan_short=0, n_dup_int=1,
+                                  n_dup_int_cutpaste=1, n_bnd=1,
+                                  n_ins_in_inv=2, n_del_in_tan=2,
+                                  n_replace=2, n_close_del_pair=2))
+    wd_ref = str(tmp_path / "wd_ref_nested")
+    wd_ours = str(tmp_path / "wd_ours_nested")
+    _run_reference(wd_ref, bam, genome)
+    assert main(["alignment", wd_ours, bam, genome]) == 0
+    _diff_tree(wd_ref, wd_ours)
