@@ -651,6 +651,14 @@ int poa_consensus_native(const char* seqs, const int64_t* seq_lens,
     offset = seq_lens[0];
   }
   std::vector<poa::AlignStep> steps;
+  // Adaptive band start: sequences of one cluster share noise statistics,
+  // so the band that ACCEPTED the previous alignment is the best guess for
+  // the next (sticky, up only).  Near-identical haplotypes stay at 16
+  // (3-4x fewer cells than the old fixed 64); noisy clusters climb once
+  // and stop retrying from the bottom.  Exactness is unchanged: the
+  // never-graze acceptance rule decides per alignment regardless of the
+  // ladder's starting rung.
+  int64_t start_band = 16;
   for (int s = 1; s < n_seqs; ++s) {
     graph.toposort();
     const int64_t len = seq_lens[s];
@@ -661,12 +669,16 @@ int poa_consensus_native(const char* seqs, const int64_t* seq_lens,
                                     max_cells);
     }
     if (!aligned) {
-      for (int64_t band = 64; band <= 2 * (len + 2); band *= 2) {
+      for (int64_t band = start_band; band <= 2 * (len + 2); band *= 2) {
         bool touched = false;
         if (!poa::align_to_graph_banded(graph, seqs + offset, len, band,
                                         &steps, max_cells, &touched))
           return -1;  // banded cells exceed the budget: give up
-        if (!touched) { aligned = true; break; }
+        if (!touched) {
+          aligned = true;
+          start_band = band;
+          break;
+        }
       }
       if (!aligned) return -1;
     }
