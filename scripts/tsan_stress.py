@@ -103,6 +103,27 @@ def main():
                     if done:
                         break
                 session.close()
+                # walk-bounded session (round 5 multi-host byte ranges):
+                # the walker skips to walk_start and stops at walk_end
+                # while the inflate workers still cover the whole stream
+                total = native.get_library().bgzf_uncompressed_size(
+                    compressed, len(compressed))
+                bounded = native.BamScanSession(
+                    compressed, 20, 40, n_threads=3,
+                    walk_start=total // 3, walk_end=2 * total // 3)
+                try:
+                    while True:
+                        (row_start, n, max_ops,
+                         _body, done) = bounded.next_rows(5)
+                        if n:
+                            bounded.fill(row_start, n,
+                                         bucket_size(max(1, max_ops)),
+                                         n_threads=2)
+                        if done:
+                            break
+                except ValueError:
+                    pass  # arbitrary bounds may cut a record: walk error ok
+                bounded.close()
         except Exception as error:  # pragma: no cover
             errors.append(error)
 

@@ -68,7 +68,7 @@ print(json.dumps({
 """
 
 
-def probe_device_link(timeout_s: int = 600):
+def probe_device_link(timeout_s: int = 240):
     """Measure the accelerator link from a SUBPROCESS (the platform must be
     pinned before this process's first jax computation, so the probe cannot
     run in-process).  Returns the metrics dict, or None when the probe
