@@ -358,6 +358,14 @@ def main(arguments=None):
               "See --help for more information.")
         return 1
     from svim_tpu.utils.device import select_backend
+    if options.distributed and options.device_backend == "auto":
+        # Every rank must make the IDENTICAL platform choice or the
+        # collectives see mismatched global device sets; a per-rank link
+        # probe could split on a borderline link.  Multi-host deployments
+        # run on attached pod slices (fast links), so auto keeps the
+        # device there; pass --device_backend cpu explicitly for host-XLA
+        # distributed runs (as the tests and scaling scripts do).
+        os.environ.setdefault("SVIM_LINK_AUTO", "0")
     select_backend(options.device_backend)
     if options.distributed:
         # must run before the first jax computation creates backends
